@@ -1,0 +1,233 @@
+"""Object detection pipeline with the reference's multi-pass aerial logic.
+
+Behavioral port of reference main.py:114-464 on top of the JAX YOLOv8 family:
+- detect_people: person-only pass, conf 0.5 / iou 0.45 / imgsz 640 (main.py:114-131);
+- detect_objects: multi-pass detection — full-frame low-conf pass, CLAHE-enhanced pass
+  (main.py:149-230), sliding 640-px windows with stride 400 for large images
+  (main.py:231-264, conf x0.9 remapped to global coords), center-distance/IoU dedup
+  (main.py:413-434), area/size filters (main.py:300-349), class-name normalization
+  (main.py:351-411), and the classical building/vehicle detectors merged with
+  IoU-0.3 / center-25px dedup (main.py:436-464).
+
+Model inference is a single jitted function (letterbox -> backbone -> decode -> NMS)
+batched over whatever windows a pass produces. Checkpoints are optional: the
+reference's .pt files were stripped from the snapshot; random weights keep the full
+pipeline executable and benchmarkable.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtvm_tpu.detect import classes as C
+from rtvm_tpu.detect.classical import detect_buildings_classical, detect_vehicles_classical
+from rtvm_tpu.models.yolo.model import build_yolo
+from rtvm_tpu.models.yolo import postprocess as pp
+
+_WEIGHT_SEARCH_PATHS = [".", "weights", os.path.expanduser("~/.rtvm_weights")]
+
+
+def _iou(a, b) -> float:
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / max(ua, 1e-9)
+
+
+def _center_dist(a, b) -> float:
+    ax, ay = (a[0] + a[2]) / 2, (a[1] + a[3]) / 2
+    bx, by = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+    return float(np.hypot(ax - bx, ay - by))
+
+
+class ObjectDetector:
+    def __init__(
+        self,
+        model: str = "yolov8n",
+        weights_path: Optional[str] = None,
+        num_classes: int = 80,
+        seed: int = 0,
+    ):
+        self.model_name = model
+        self.model, self.variables = build_yolo(model, num_classes=num_classes, seed=seed)
+        self.class_names = C.COCO_CLASSES if num_classes == 80 else [str(i) for i in range(num_classes)]
+        self.weights_loaded = False
+        path = weights_path or self._find_weights(model)
+        if path:
+            try:
+                from rtvm_tpu.models.yolo.weights import convert_to_flax, load_ultralytics_state_dict
+
+                self.variables = convert_to_flax(load_ultralytics_state_dict(path), self.variables)
+                self.weights_loaded = True
+                print(f"Загружены веса: {path}")
+            except Exception as e:  # graceful degradation like reference main.py:42-70
+                print(f"Предупреждение: не удалось загрузить веса {path}: {e}")
+        self._infer_cache = {}
+
+    @staticmethod
+    def _find_weights(model: str) -> Optional[str]:
+        for d in _WEIGHT_SEARCH_PATHS:
+            p = os.path.join(d, f"{model}.pt")
+            if os.path.exists(p):
+                return p
+        return None
+
+    # ------------------------------------------------------------------ core
+    def _infer_fn(self, imgsz: int, conf: float, iou: float):
+        key = (imgsz, conf, iou)
+        if key not in self._infer_cache:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def run(frames_u8):
+                x, scale, py, px = pp.preprocess_frames(frames_u8, imgsz)
+                box_l, cls_l = model.apply(variables, x, train=False)
+                boxes, scores = pp.decode_predictions(box_l, cls_l, model.cfg.strides, model.cfg.reg_max)
+
+                def one(bx, sc):
+                    det = pp.nms_fixed(bx, sc, conf, iou)
+                    return det._replace(boxes=pp.unletterbox_boxes(det.boxes, scale, py, px))
+
+                return jax.vmap(one)(boxes, scores)
+
+            self._infer_cache[key] = run
+        return self._infer_cache[key]
+
+    def _run_pass(self, images_u8: np.ndarray, imgsz: int, conf: float, iou: float) -> List[List[dict]]:
+        """images [B, H, W, 3] BGR uint8 -> per-image detection dicts."""
+        run = self._infer_fn(imgsz, conf, iou)
+        det = run(jnp.asarray(images_u8))
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        cls = np.asarray(det.classes)
+        valid = np.asarray(det.valid)
+        out = []
+        for b in range(len(images_u8)):
+            items = []
+            for i in np.flatnonzero(valid[b]):
+                name = C.normalize_class_name(self.class_names[int(cls[b, i])])
+                items.append(
+                    {
+                        "bbox": [float(v) for v in boxes[b, i]],
+                        "class": name,
+                        "confidence": float(scores[b, i]),
+                        "source": "yolo",
+                    }
+                )
+            out.append(items)
+        return out
+
+    # ------------------------------------------------------------- public API
+    def detect_people(self, frame: np.ndarray) -> List[List[int]]:
+        """Person boxes only (reference detect_people, main.py:114-131)."""
+        dets = self._run_pass(frame[None], imgsz=640, conf=0.5, iou=0.45)[0]
+        return [
+            [int(v) for v in d["bbox"]] for d in dets if d["class"] == "person"
+        ]
+
+    def detect_objects(self, image: np.ndarray, window_threshold: int = 800) -> List[dict]:
+        """Multi-pass detection with dedup + filters (reference main.py:149-464)."""
+        from rtvm_tpu.ops.clahe import enhance_for_detection
+
+        h, w = image.shape[:2]
+        all_dets: List[dict] = []
+
+        # pass (a): full frame, low confidence, large imgsz
+        all_dets += self._run_pass(image[None], imgsz=1280, conf=0.02, iou=0.5)[0]
+
+        # pass (b): CLAHE-enhanced frame
+        enhanced = np.asarray(enhance_for_detection(jnp.asarray(image))).astype(np.uint8)
+        all_dets += self._run_pass(enhanced[None], imgsz=1280, conf=0.02, iou=0.5)[0]
+
+        # pass (c): sliding windows for large images
+        if max(h, w) > window_threshold:
+            win, stride = 640, 400
+            tiles, offsets = [], []
+            for y0 in range(0, max(h - win, 0) + 1, stride):
+                for x0 in range(0, max(w - win, 0) + 1, stride):
+                    tile = image[y0 : y0 + win, x0 : x0 + win]
+                    if tile.shape[0] < win or tile.shape[1] < win:
+                        tile = np.pad(
+                            tile, ((0, win - tile.shape[0]), (0, win - tile.shape[1]), (0, 0))
+                        )
+                    tiles.append(tile)
+                    offsets.append((x0, y0))
+            if tiles:
+                per_tile = self._run_pass(np.stack(tiles), imgsz=640, conf=0.03, iou=0.5)
+                for dets, (x0, y0) in zip(per_tile, offsets):
+                    for d in dets:
+                        b = d["bbox"]
+                        d["bbox"] = [b[0] + x0, b[1] + y0, b[2] + x0, b[3] + y0]
+                        d["confidence"] *= 0.9
+                        all_dets.append(d)
+
+        deduped = self._dedup(all_dets, center_px=40.0, iou_th=0.5)
+        filtered = self._area_filter(deduped, h, w)
+
+        # classical detectors merged with tighter dedup (main.py:436-464)
+        classical = detect_buildings_classical(image) + detect_vehicles_classical(image)
+        for cd in classical:
+            if not any(
+                _iou(cd["bbox"], d["bbox"]) > 0.3 or _center_dist(cd["bbox"], d["bbox"]) < 25
+                for d in filtered
+            ):
+                filtered.append(cd)
+        return filtered
+
+    @staticmethod
+    def _dedup(dets: List[dict], center_px: float, iou_th: float) -> List[dict]:
+        """Keep the highest-confidence instance among near-duplicates
+        (reference _is_duplicate, main.py:413-434)."""
+        kept: List[dict] = []
+        for d in sorted(dets, key=lambda x: -x["confidence"]):
+            dup = any(
+                (d["class"] == k["class"])
+                and (_center_dist(d["bbox"], k["bbox"]) < center_px or _iou(d["bbox"], k["bbox"]) > iou_th)
+                for k in kept
+            )
+            if not dup:
+                kept.append(d)
+        return kept
+
+    @staticmethod
+    def _area_filter(dets: List[dict], h: int, w: int) -> List[dict]:
+        """Area/size sanity filters (reference main.py:300-349)."""
+        out = []
+        max_area = 0.15 * h * w
+        for d in dets:
+            x1, y1, x2, y2 = d["bbox"]
+            bw, bh = x2 - x1, y2 - y1
+            area = bw * bh
+            if area > max_area or area <= 0:
+                continue
+            if d["class"] == "building":
+                if area < 200 or min(bw, bh) < 25 or max(bw, bh) < 40:
+                    continue
+            else:
+                if area < 80:
+                    continue
+            out.append(d)
+        return out
+
+    @staticmethod
+    def draw_detections(image: np.ndarray, dets: List[dict]) -> np.ndarray:
+        import cv2
+
+        out = image.copy()
+        colors = {"building": (0, 140, 255), "car": (0, 255, 0), "person": (0, 0, 255)}
+        for d in dets:
+            x1, y1, x2, y2 = [int(v) for v in d["bbox"]]
+            c = colors.get(d["class"], (255, 200, 0))
+            cv2.rectangle(out, (x1, y1), (x2, y2), c, 2)
+            cv2.putText(
+                out, f"{d['class']} {d['confidence']:.2f}", (x1, max(y1 - 4, 10)),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.45, c, 1,
+            )
+        return out

@@ -1,0 +1,117 @@
+"""YOLO decode + fixed-shape NMS, jit-friendly.
+
+Replaces the ultralytics predict() postprocessing the reference relies on
+(main.py:118-124,170-177): DFL decode to xyxy, sigmoid class scores, per-image top-K
+candidate selection and O(K^2) vectorized IoU suppression — all static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rtvm_tpu.models.yolo.modules import dfl_expectation
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # [K, 4] xyxy in input-image pixels
+    scores: jnp.ndarray  # [K]
+    classes: jnp.ndarray  # [K] int32
+    valid: jnp.ndarray  # [K] bool
+
+
+def decode_predictions(
+    box_logits: Sequence[jnp.ndarray],
+    cls_logits: Sequence[jnp.ndarray],
+    strides: Tuple[int, ...] = (8, 16, 32),
+    reg_max: int = 16,
+):
+    """Per-scale head outputs (NHWC) -> flat (boxes_xyxy [N,4], scores [N,C])."""
+    all_boxes, all_scores = [], []
+    for bl, cl, s in zip(box_logits, cls_logits, strides):
+        b, h, w, _ = bl.shape
+        d = dfl_expectation(bl, reg_max)  # [B, H, W, 4] ltrb in stride units
+        cy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None, :, None]
+        cx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, None, :]
+        x1 = (cx - d[..., 0]) * s
+        y1 = (cy - d[..., 1]) * s
+        x2 = (cx + d[..., 2]) * s
+        y2 = (cy + d[..., 3]) * s
+        boxes = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(b, h * w, 4)
+        scores = jax.nn.sigmoid(cl).reshape(b, h * w, -1)
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+    return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_scores, axis=1)
+
+
+def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    conf_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    max_detections: int = 300,
+    class_aware: bool = True,
+) -> Detections:
+    """Single-image NMS with static output size. boxes [N,4], scores [N,C]."""
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    conf = jnp.max(scores, axis=-1)
+    conf = jnp.where(conf >= conf_threshold, conf, 0.0)
+
+    k = min(max_detections, boxes.shape[0])
+    top_conf, idx = jax.lax.top_k(conf, k)
+    top_boxes = boxes[idx]
+    top_cls = cls[idx]
+
+    iou = _iou_matrix(top_boxes)
+    if class_aware:
+        iou = iou * (top_cls[:, None] == top_cls[None, :])
+
+    # Greedy suppression: candidates are sorted by score; box i survives unless a
+    # surviving higher-scored box overlaps it.
+    def body(i, keep):
+        overlaps = (iou[i] > iou_threshold) & keep & (jnp.arange(k) < i)
+        return keep.at[i].set(jnp.logical_not(jnp.any(overlaps)) & keep[i])
+
+    keep0 = top_conf > 0.0
+    keep = jax.lax.fori_loop(0, k, body, keep0)
+    return Detections(
+        boxes=top_boxes, scores=jnp.where(keep, top_conf, 0.0), classes=top_cls, valid=keep
+    )
+
+
+def letterbox_params(h: int, w: int, imgsz: int) -> Tuple[float, int, int, int, int]:
+    """Aspect-preserving resize-with-pad geometry (scale, new_h, new_w, pad_y, pad_x)."""
+    scale = min(imgsz / h, imgsz / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    py, px = (imgsz - nh) // 2, (imgsz - nw) // 2
+    return scale, nh, nw, py, px
+
+
+def preprocess_frames(frames_u8: jnp.ndarray, imgsz: int) -> Tuple[jnp.ndarray, float, int, int]:
+    """[B, H, W, 3] BGR uint8 -> [B, imgsz, imgsz, 3] RGB float letterboxed 0..1."""
+    b, h, w, _ = frames_u8.shape
+    scale, nh, nw, py, px = letterbox_params(h, w, imgsz)
+    x = frames_u8[..., ::-1].astype(jnp.float32) / 255.0  # BGR -> RGB
+    x = jax.image.resize(x, (b, nh, nw, 3), method="bilinear")
+    x = jnp.pad(x, ((0, 0), (py, imgsz - nh - py), (px, imgsz - nw - px), (0, 0)),
+                constant_values=0.447)
+    return x, scale, py, px
+
+
+def unletterbox_boxes(boxes: jnp.ndarray, scale: float, py: int, px: int) -> jnp.ndarray:
+    """Map boxes from letterboxed coords back to original image pixels."""
+    return (boxes - jnp.array([px, py, px, py], boxes.dtype)) / scale

@@ -1,0 +1,99 @@
+"""FAST-9/16 corner detection as a fully vectorized XLA op.
+
+TPU-native replacement for the FAST stage of cv2.ORB_create(700) (reference main.py:36,
+slam.py:47). Instead of OpenCV's sequential pixel scan with early-exit tests, every
+circle comparison is evaluated for the whole image at once on the VPU (16 shifted views,
+144 fused AND-reductions for the contiguous-arc test), followed by 3x3 NMS and a fixed-K
+top-k — shape-stable under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtvm_tpu.ops.filters import maxpool3x3
+
+# Bresenham circle of radius 3, clockwise from 12 o'clock: (dy, dx).
+CIRCLE_OFFSETS = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+
+class Keypoints(NamedTuple):
+    """Fixed-K keypoint set. Invalid slots have valid=False (score 0, coords 0)."""
+
+    xy: jnp.ndarray  # [K, 2] float32 (x, y)
+    score: jnp.ndarray  # [K] float32
+    valid: jnp.ndarray  # [K] bool
+
+
+def fast_score_map(gray: jnp.ndarray, threshold: float = 20.0, arc: int = 9) -> jnp.ndarray:
+    """Per-pixel FAST corner score for a [H, W] float image.
+
+    Score is the sum over the 16 circle pixels of how far each exceeds the threshold band
+    (a smooth stand-in for OpenCV's max-threshold score; used only for NMS/top-k ranking).
+    Non-corner pixels get score 0.
+    """
+    h, w = gray.shape
+    pad = jnp.pad(gray, 3, mode="edge")
+    # [16, H, W] circle views.
+    shifted = jnp.stack(
+        [pad[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dy, dx in CIRCLE_OFFSETS]
+    )
+    center = gray[None]
+    bright = shifted > center + threshold
+    dark = shifted < center - threshold
+
+    def has_arc(mask):
+        # mask [16, H, W] -> any run of `arc` consecutive (circularly) True values.
+        m = jnp.concatenate([mask, mask[: arc - 1]], axis=0)
+        out = jnp.zeros(gray.shape, dtype=bool)
+        for k in range(16):
+            run = m[k]
+            for j in range(1, arc):
+                run = run & m[k + j]
+            out = out | run
+        return out
+
+    corner = has_arc(bright) | has_arc(dark)
+    sb = jnp.sum(jnp.maximum(shifted - center - threshold, 0.0), axis=0)
+    sd = jnp.sum(jnp.maximum(center - shifted - threshold, 0.0), axis=0)
+    return jnp.where(corner, jnp.maximum(sb, sd), 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def detect_fast(
+    gray: jnp.ndarray,
+    max_keypoints: int = 700,
+    threshold: float = 20.0,
+    border_margin: int = 16,
+    arc: int = 9,
+) -> Keypoints:
+    """FAST corners -> 3x3 NMS -> top-K. Returns a fixed-size Keypoints set."""
+    h, w = gray.shape
+    score = fast_score_map(gray, threshold, arc)
+    # 3x3 non-max suppression.
+    score = jnp.where(score >= maxpool3x3(score), score, 0.0)
+    # Zero out the border so descriptor patches stay in-bounds.
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    m = border_margin
+    inside = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
+    score = jnp.where(inside, score, 0.0)
+
+    flat = score.reshape(-1)
+    top, idx = jax.lax.top_k(flat, max_keypoints)
+    ky = (idx // w).astype(jnp.float32)
+    kx = (idx % w).astype(jnp.float32)
+    valid = top > 0.0
+    xy = jnp.where(valid[:, None], jnp.stack([kx, ky], axis=-1), 0.0)
+    return Keypoints(xy=xy, score=jnp.where(valid, top, 0.0), valid=valid)

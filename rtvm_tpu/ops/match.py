@@ -1,0 +1,86 @@
+"""Batched descriptor matching.
+
+TPU-native replacement for cv2.BFMatcher (reference main.py:676-708):
+- ORB path: Hamming distance via XOR + popcount over packed uint32 words, with mutual
+  cross-check (NORM_HAMMING, crossCheck=True, main.py:37).
+- SIFT path: squared-L2 distance via one MXU matmul, top-2 + Lowe ratio test 0.7
+  (bf.knnMatch(k=2), main.py:688-692).
+
+Everything is fixed shape [K] with validity masks, so it jits and vmaps over frame
+windows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(1 << 30)
+
+
+class Matches(NamedTuple):
+    """For each query keypoint i (current frame): index into the train set (previous
+    frame) and a validity flag. Fixed size K."""
+
+    train_idx: jnp.ndarray  # [K] int32
+    valid: jnp.ndarray  # [K] bool
+    distance: jnp.ndarray  # [K] float32
+
+
+def hamming_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a [Ka, W] uint32, b [Kb, W] uint32 -> [Ka, Kb] int32 Hamming distances."""
+    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def match_hamming_crosscheck(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+) -> Matches:
+    """Mutual-nearest-neighbour Hamming matching (BFMatcher crossCheck semantics)."""
+    d = hamming_distance_matrix(desc_q, desc_t)
+    d = jnp.where(valid_q[:, None] & valid_t[None, :], d, _BIG)
+    best_t = jnp.argmin(d, axis=1)  # [Kq]
+    best_q = jnp.argmin(d, axis=0)  # [Kt]
+    kq = desc_q.shape[0]
+    ar = jnp.arange(kq)
+    dist = d[ar, best_t]
+    mutual = (best_q[best_t] == ar) & (dist < _BIG)
+    return Matches(train_idx=best_t.astype(jnp.int32), valid=mutual, distance=dist.astype(jnp.float32))
+
+
+def match_l2_ratio(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    ratio: float = 0.7,
+) -> Matches:
+    """knn(k=2) + Lowe ratio test on float descriptors. The NxN distance matrix is one
+    matmul on the MXU: |a-b|^2 = |a|^2 + |b|^2 - 2 a.b."""
+    qq = jnp.sum(desc_q * desc_q, axis=-1, keepdims=True)  # [Kq, 1]
+    tt = jnp.sum(desc_t * desc_t, axis=-1)[None, :]  # [1, Kt]
+    cross = jnp.dot(desc_q, desc_t.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(qq + tt - 2.0 * cross, 0.0)
+    big = jnp.float32(1e30)
+    d2 = jnp.where(valid_q[:, None] & valid_t[None, :], d2, big)
+    neg_top2, idx2 = jax.lax.top_k(-d2, 2)  # [Kq, 2]
+    d1 = -neg_top2[:, 0]
+    d2nd = -neg_top2[:, 1]
+    # Lowe: sqrt(d1) < ratio * sqrt(d2)  <=>  d1 < ratio^2 * d2
+    ok = (d1 < (ratio * ratio) * d2nd) & (d1 < big)
+    return Matches(
+        train_idx=idx2[:, 0].astype(jnp.int32),
+        valid=ok,
+        distance=jnp.sqrt(jnp.maximum(d1, 0.0)),
+    )
+
+
+def gather_correspondences(kp_q: jnp.ndarray, kp_t: jnp.ndarray, m: Matches):
+    """-> (src [K,2] query/current pts, dst [K,2] matched train/previous pts, valid [K])."""
+    dst = kp_t[m.train_idx]
+    return kp_q, dst, m.valid

@@ -1,0 +1,1 @@
+from rtvm_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: F401

@@ -1,0 +1,162 @@
+"""End-to-end mosaic pipeline driver — behavioral port of reference main.main()
+(main.py:1512-1717) with a TPU-windowed hot loop.
+
+Output contract preserved (SURVEY.md section 1/5): writes `mosaic.jpg` and (when
+detection/navigation are enabled) `navigation_map.jpg` + `Detections/` into
+output_dir (default cwd); progress print every 50 frames including the reference's
+Russian-language line (the web UI's stdout parser consumes it); per-frame
+`update_callback(frame_count, mosaic, progress_pct)`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from rtvm_tpu.config import MosaicConfig, PipelineConfig
+from rtvm_tpu.io.video import VideoReader
+from rtvm_tpu.mosaic.stitcher import VideMosaic
+from rtvm_tpu.utils.image import crop_black_areas, scale_to_screen
+from rtvm_tpu.utils.timing import StageTimer
+
+DEFAULT_VIDEO = "/root/reference/Data/поиски квадрокоптера 2 (360p) 01.mp4"
+
+
+def run_mosaic(
+    video_path: str,
+    config: Optional[MosaicConfig] = None,
+    detector_type: str = "sift",
+    update_callback: Optional[Callable] = None,
+    callback_every: int = 10,
+    max_frames: Optional[int] = None,
+    timer: Optional[StageTimer] = None,
+) -> tuple[VideMosaic, dict]:
+    """Stitch a whole video. Returns (stitcher, stats).
+
+    update_callback(frame_count, mosaic_u8, progress_pct) mirrors the reference protocol
+    (main.py:1630-1632) but is invoked per window (a full-canvas device->host copy per
+    frame would throttle the TPU for no benefit).
+    """
+    config = config or MosaicConfig()
+    timer = timer or StageTimer()
+    reader = VideoReader(video_path, window=config.window_size, max_frames=max_frames)
+    total_hint = reader.frame_count_hint if reader.frame_count_hint > 0 else None
+
+    with timer.stage("init"):
+        mosaic = VideMosaic(
+            reader.first_frame,
+            output_height_times=config.output_height_times,
+            output_width_times=config.output_width_times,
+            detector_type=detector_type,
+            config=config,
+            visualize=False,
+        )
+
+    frame_count = 1
+    ok_frames = 0
+    t0 = time.perf_counter()
+    windows = 0
+    for frames, n_valid in reader.windows():
+        with timer.stage("window"):
+            aux = mosaic.process_window(frames)
+        windows += 1
+        frame_count += n_valid
+        ok_frames += int(np.asarray(aux.ok)[:n_valid].sum())
+        if frame_count % 50 < config.window_size:
+            pct = 100.0 * frame_count / total_hint if total_hint else 0.0
+            print(f"Обработан кадр {frame_count}/{total_hint or '?'} ({pct:.1f}%)")
+            print(f"Processed frame {frame_count}/{total_hint or '?'} ({pct:.1f}%)")
+        if update_callback is not None and windows % callback_every == 0:
+            pct = 100.0 * frame_count / total_hint if total_hint else 0.0
+            update_callback(frame_count, mosaic.output_img_u8, pct)
+    # make sure all device work is done before timing
+    np.asarray(mosaic.state.frame_idx)
+    elapsed = time.perf_counter() - t0
+
+    stats = {
+        "frames": frame_count,
+        "accepted": ok_frames,
+        "elapsed_s": elapsed,
+        "fps": frame_count / elapsed if elapsed > 0 else 0.0,
+    }
+    return mosaic, stats
+
+
+def main(
+    video_path: Optional[str] = None,
+    update_callback: Optional[Callable] = None,
+    show_intermediate: bool = True,
+    output_dir: Optional[str] = None,
+    images_dir: Optional[str] = None,
+    detector_type: str = "sift",
+    enable_detection: bool = True,
+    enable_navigation: bool = True,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+):
+    """Reference-parity entry point (main.py:1512). Stitches the video, saves
+    mosaic.jpg, runs detection on the mosaic, builds the navigation map."""
+    import cv2
+
+    config = config or PipelineConfig()
+    out_dir = output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+
+    if images_dir is not None:
+        from rtvm_tpu.pipelines.images_pipeline import process_images_dir
+
+        return process_images_dir(images_dir, out_dir, config)
+
+    video_path = video_path or DEFAULT_VIDEO
+    timer = StageTimer()
+    mosaic, stats = run_mosaic(
+        video_path,
+        config=config.mosaic,
+        detector_type=detector_type,
+        update_callback=update_callback,
+        max_frames=max_frames,
+        timer=timer,
+    )
+    print(f"Скорость сшивки: {stats['fps']:.1f} кадров/с ({stats['frames']} кадров)")
+
+    output_img = mosaic.output_img_u8
+    cropped = crop_black_areas(output_img, threshold=80, margin=30)
+    scaled = scale_to_screen(cropped)
+    mosaic_path = os.path.join(out_dir, "mosaic.jpg")
+    cv2.imwrite(mosaic_path, scaled)
+    print(f"Мозаика сохранена: {mosaic_path}")
+
+    detections = []
+    if enable_detection:
+        try:
+            from rtvm_tpu.detect.detector import ObjectDetector
+
+            det = ObjectDetector(model=config.detect.model)
+            detections = det.detect_objects(scaled)
+            stats["detections"] = len(detections)
+            counts: dict = {}
+            for d in detections:
+                counts[d["class"]] = counts.get(d["class"], 0) + 1
+            for cls, n in sorted(counts.items()):
+                print(f"  {cls}: {n}")
+        except Exception as e:  # mirror the reference's graceful degradation (main.py:42-70)
+            print(f"Предупреждение: детекция недоступна: {e}")
+
+    if enable_navigation:
+        try:
+            from rtvm_tpu.navigate.mapping import analyze_for_navigation
+
+            nav = analyze_for_navigation(scaled, detections)
+            nav_path = os.path.join(out_dir, "navigation_map.jpg")
+            cv2.imwrite(nav_path, nav)
+            print(f"Карта навигации сохранена: {nav_path}")
+        except Exception as e:
+            print(f"Предупреждение: карта навигации недоступна: {e}")
+
+    if update_callback is not None:
+        update_callback(stats["frames"], output_img, 100.0)
+    print(timer.report())
+    return mosaic, stats

@@ -1,0 +1,97 @@
+"""Feature detection/description tests: FAST corners, ORB descriptors, SIFT path."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvm_tpu.config import FeatureConfig
+from rtvm_tpu.ops import color, match
+from rtvm_tpu.ops.features import fast as fast_ops
+from rtvm_tpu.ops.features import orb as orb_ops
+from rtvm_tpu.ops.features import sift as sift_ops
+
+
+def _gray(img):
+    return color.bgr2gray(jnp.asarray(img))
+
+
+def test_fast_finds_synthetic_corner():
+    img = np.zeros((64, 64), np.float32)
+    img[24:, 24:] = 200.0  # one strong corner at (24, 24)
+    kps = fast_ops.detect_fast(jnp.asarray(img), 16, 20.0, 8, 9)
+    xy = np.asarray(kps.xy)[np.asarray(kps.valid)]
+    assert len(xy) >= 1
+    d = np.abs(xy - np.array([24, 24])).max(axis=1)
+    assert d.min() <= 2
+
+
+def test_fast_against_cv2_recall(textured_image):
+    g = _gray(textured_image)
+    kps = fast_ops.detect_fast(g, 300, 20.0, 16, 9)
+    ours = np.asarray(kps.xy)[np.asarray(kps.valid)]
+    det = cv2.FastFeatureDetector_create(threshold=20)
+    ref = cv2.KeyPoint_convert(det.detect(cv2.cvtColor(textured_image, cv2.COLOR_BGR2GRAY)))
+    if len(ref) == 0:
+        pytest.skip("cv2 found nothing")
+    # most of our top corners should be near some cv2 corner
+    d = np.sqrt(((ours[:, None] - ref[None]) ** 2).sum(-1)).min(axis=1)
+    assert (d <= 3).mean() > 0.6
+
+
+def test_orb_descriptors_match_under_translation(textured_image):
+    g = np.asarray(_gray(textured_image))
+    a = jnp.asarray(g[10:210, 10:310])
+    b = jnp.asarray(g[14:214, 17:317])  # shifted by (4, 7)
+    ka = fast_ops.detect_fast(a, 200, 20.0, 16, 9)
+    kb = fast_ops.detect_fast(b, 200, 20.0, 16, 9)
+    da = orb_ops.describe_orb(a, ka)
+    db = orb_ops.describe_orb(b, kb)
+    m = match.match_hamming_crosscheck(db.bits, db.valid, da.bits, da.valid)
+    src, dst, valid = match.gather_correspondences(kb.xy, ka.xy, m)
+    shift = np.asarray(src - dst)[np.asarray(valid)]
+    assert valid.sum() >= 20
+    med = np.median(shift, axis=0)
+    # b's content is a's shifted by (-7, -4) in (x, y): src + (7,4) = dst
+    assert np.abs(med - np.array([-7.0, -4.0])).max() < 1.0
+
+
+def test_sift_detect_and_describe_match_under_shift(textured_image):
+    cfg = FeatureConfig(detector_type="sift", max_keypoints=200, sift_octaves=3)
+    g = np.asarray(_gray(textured_image))
+    a = jnp.asarray(g[10:210, 10:310])
+    b = jnp.asarray(g[15:215, 16:316])  # shift (5, 6)
+    kpa, da, va = sift_ops.detect_and_describe(a, cfg)
+    kpb, db, vb = sift_ops.detect_and_describe(b, cfg)
+    assert int(va.sum()) > 25
+    m = match.match_l2_ratio(db, vb, da, va, 0.8)
+    src, dst, valid = match.gather_correspondences(kpb, kpa, m)
+    assert int(valid.sum()) >= 10
+    shift = np.asarray(src - dst)[np.asarray(valid)]
+    med = np.median(shift, axis=0)
+    assert np.abs(med - np.array([-6.0, -5.0])).max() < 1.5
+
+
+def test_orb_rotation_invariance(textured_image):
+    """Descriptors should still match under a 30-degree in-plane rotation."""
+    g = np.asarray(_gray(textured_image)).astype(np.float32)
+    h, w = g.shape
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), 30, 1.0)
+    rot = cv2.warpAffine(g, M, (w, h))
+    a, b = jnp.asarray(g), jnp.asarray(rot)
+    ka = fast_ops.detect_fast(a, 300, 20.0, 20, 9)
+    kb = fast_ops.detect_fast(b, 300, 20.0, 20, 9)
+    da = orb_ops.describe_orb(a, ka)
+    db = orb_ops.describe_orb(b, kb)
+    m = match.match_hamming_crosscheck(db.bits, db.valid, da.bits, da.valid)
+    src, dst, valid = match.gather_correspondences(kb.xy, ka.xy, m)
+    src = np.asarray(src)[np.asarray(valid)]
+    dst = np.asarray(dst)[np.asarray(valid)]
+    if len(src) < 10:
+        pytest.skip("not enough matches to evaluate")
+    # Rotate matched points back and verify geometric consistency for the majority.
+    Minv = cv2.invertAffineTransform(M)
+    back = src @ Minv[:, :2].T + Minv[:, 2]
+    err = np.sqrt(((back - dst) ** 2).sum(-1))
+    assert (err < 3.0).mean() > 0.5

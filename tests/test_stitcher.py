@@ -1,0 +1,109 @@
+"""End-to-end stitcher tests on synthetic camera paths over a large textured scene."""
+
+import dataclasses
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvm_tpu.config import FeatureConfig, MosaicConfig
+from rtvm_tpu.mosaic.stitcher import VideMosaic
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (600, 800, 3)).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (0, 0), 1.0)
+    for _ in range(120):
+        x, y = rng.randint(20, 780), rng.randint(20, 580)
+        c = tuple(int(v) for v in rng.randint(0, 255, 3))
+        cv2.rectangle(img, (x, y), (x + rng.randint(6, 30), y + rng.randint(6, 30)), c, -1)
+    return img
+
+
+def _small_config(detector="orb"):
+    return MosaicConfig(
+        window_size=4,
+        features=FeatureConfig(detector_type=detector, max_keypoints=256, sift_octaves=3),
+    )
+
+
+def _synthetic_frames(scene, n, dx=6, dy=-4):
+    """Camera panning across the scene: frame i is a crop at (x0+i*dx, y0+i*dy)."""
+    h, w = 160, 256
+    x0, y0 = 100, 300
+    frames = []
+    for i in range(n):
+        x = x0 + i * dx
+        y = y0 + i * dy
+        frames.append(scene[y : y + h, x : x + w])
+    return frames
+
+
+def test_process_frame_accepts_and_updates_state(scene):
+    frames = _synthetic_frames(scene, 3)
+    m = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    assert m.state.frame_idx == 1
+    ok = m.process_frame(frames[1], 1)
+    assert ok
+    assert m.state.frame_idx == 2
+    # H maps current -> canvas; camera moved (+6, -4), so content maps to (+6, -4)
+    # relative to the seed offset
+    H = m.H_old
+    assert abs(H[0, 2] - (m.h_offset + 6)) < 2.0
+    assert abs(H[1, 2] - (m.w_offset - 4)) < 2.0
+
+
+def test_window_equivalent_to_single_frames(scene):
+    frames = _synthetic_frames(scene, 5)
+    m1 = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    for i, f in enumerate(frames[1:]):
+        m1.process_frame(f, i + 1)
+    m2 = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    m2.process_window(np.stack(frames[1:]))
+    d = np.abs(m1.output_img - m2.output_img)
+    # B=1 and B=4 compile to different fusion/reduction orders, so RANSAC refinement
+    # can differ in the last float32 ulps; demand sub-intensity-level agreement.
+    assert d.max() < 1.0
+    assert d.mean() < 0.01
+
+
+def test_mosaic_grows_and_matches_scene(scene):
+    n = 8
+    frames = _synthetic_frames(scene, n)
+    m = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    aux = m.process_window(np.stack(frames[1:]))
+    assert np.asarray(aux.ok).all()
+    out = m.output_img_u8
+    # canvas coverage should exceed a single frame's area
+    covered = (np.asarray(m.state.canvas_weight) > 0).sum()
+    assert covered > 1.15 * 160 * 256
+    # mosaic content must match the scene: the seed frame region should be intact
+    seed = out[m.w_offset : m.w_offset + 160, m.h_offset : m.h_offset + 256]
+    d = np.abs(seed.astype(np.float32) - frames[0].astype(np.float32))
+    # interior (excluding later blended-over edges)
+    assert d[40:-40, 60:-60].mean() < 12.0
+
+
+def test_checkpoint_restore_roundtrip(scene):
+    frames = _synthetic_frames(scene, 4)
+    m = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    m.process_window(np.stack(frames[1:3]))
+    snap = m.checkpoint()
+    m.process_frame(frames[3], 3)
+    after = m.output_img.copy()
+    m.restore(snap)
+    m.process_frame(frames[3], 3)
+    assert np.abs(m.output_img - after).max() < 1e-3
+
+
+def test_sift_path_stitches(scene):
+    frames = _synthetic_frames(scene, 3, dx=5, dy=3)
+    m = VideMosaic(frames[0], detector_type="sift", config=_small_config("sift"))
+    aux = m.process_window(np.stack(frames[1:]))
+    assert np.asarray(aux.ok).all()
+    H = m.H_old
+    assert abs(H[0, 2] - (m.h_offset + 2 * 5)) < 2.5
+    assert abs(H[1, 2] - (m.w_offset + 2 * 3)) < 2.5

@@ -1,0 +1,140 @@
+"""Warp and blend tests: two-pass MXU warp vs gather oracle vs cv2.warpPerspective.
+Target from BASELINE.md: mosaic PSNR >= 40 dB vs the OpenCV reference warp."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvm_tpu.ops import warp as W
+from rtvm_tpu.utils.image import psnr
+
+HC, WC = 256, 384
+HF, WF = 128, 256
+
+
+def _stack_cm(img):
+    fw = W.edge_distance_map(img.shape[0], img.shape[1], 16.0)
+    return jnp.asarray(
+        np.concatenate([img.astype(np.float32).transpose(2, 0, 1), fw[None]], axis=0)
+    )
+
+
+def _psnr_masked(a, b, mask):
+    d = (a - b)[:, mask]
+    mse = float((d**2).mean()) if d.size else 0.0
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+HS = {
+    "offset": np.array([[1, 0, 60], [0, 1, 100], [0, 0, 1]], np.float32),
+    "subpix": np.array([[1, 0, 60.4], [0, 1, 99.7], [0, 0, 1]], np.float32),
+    "rot10_scale1.1": cv2.getRotationMatrix2D((0, 0), 10, 1.1),
+    "rot-25": cv2.getRotationMatrix2D((50, 50), -25, 0.95),
+    "shear": np.array([[1.05, 0.08, 30], [0.02, 0.92, 80], [0, 0, 1]], np.float32),
+}
+
+
+def _to3x3(m):
+    if m.shape == (2, 3):
+        m = np.vstack([m, [0, 0, 1]])
+    m = m.astype(np.float32)
+    m[0, 2] += 60
+    m[1, 2] += 90
+    return m
+
+
+@pytest.mark.parametrize("name", list(HS))
+def test_two_pass_matches_gather_warp(textured_image, name):
+    img = textured_image[:HF, :WF]
+    stack = _stack_cm(img)
+    H = jnp.asarray(_to3x3(np.asarray(HS[name])))
+    assert bool(W.two_pass_regime_ok(H, HC, WC)), name
+    a = np.asarray(W.warp_two_pass(stack, H, HC, WC))
+    b = np.asarray(W._warp_gather_cm(stack, H, HC, WC))
+    mask = (a[3] > 0.05) & (b[3] > 0.05)
+    for sh in (3, -3):
+        mask &= np.roll(mask, sh, 0) & np.roll(mask, sh, 1)
+    assert mask.mean() > 0.1, name
+    p = _psnr_masked(a[:3], b[:3], mask)
+    assert p > 40.0, (name, p)
+
+
+@pytest.mark.parametrize("name", ["offset", "rot10_scale1.1", "shear"])
+def test_gather_warp_matches_cv2(textured_image, name):
+    img = textured_image[:HF, :WF].astype(np.float32)
+    H = _to3x3(np.asarray(HS[name]))
+    ref = cv2.warpPerspective(img, H, (WC, HC), flags=cv2.INTER_LINEAR)
+    ours = np.asarray(W.warp_perspective(jnp.asarray(img), jnp.asarray(H), HC, WC))
+    mask = (ref.sum(-1) > 1) & (ours.sum(-1) > 1)
+    for sh in (2, -2):
+        mask &= np.roll(mask, sh, 0) & np.roll(mask, sh, 1)
+    d = (ours - ref)[mask]
+    p = 10 * np.log10(255.0**2 / max(float((d**2).mean()), 1e-12))
+    assert p > 40.0, (name, p)
+
+
+def test_two_pass_regime_rejects_extremes():
+    big_rot = _to3x3(np.asarray(cv2.getRotationMatrix2D((0, 0), 60, 1.0)))
+    assert not bool(W.two_pass_regime_ok(jnp.asarray(big_rot), HC, WC))
+    big_persp = np.eye(3, dtype=np.float32)
+    big_persp[2, 0] = 1e-3
+    assert not bool(W.two_pass_regime_ok(jnp.asarray(big_persp), HC, WC))
+
+
+def test_blend_semantics(textured_image):
+    img = textured_image[:HF, :WF]
+    stack = _stack_cm(img)
+    canvas = jnp.zeros((3, HC, WC), jnp.float32)
+    cw = jnp.zeros((HC, WC), jnp.float32)
+    H = jnp.asarray(_to3x3(HS["offset"].copy()))
+    c1, w1 = W.warp_blend_fast(canvas, cw, stack[:3], stack[3], H)
+    c1n, w1n = np.asarray(c1), np.asarray(w1)
+    # frame content copied into empty canvas region
+    interior = np.moveaxis(c1n, 0, -1)[130 + 20 : 130 + HF - 20, 120 + 20 : 120 + WF - 20]
+    # offset: y=90+40? (H puts frame at (60+?, 90+40)) — just check some content landed
+    assert (w1n > 0).sum() > 0.5 * HF * WF
+    assert float(np.abs(c1n).max()) > 10
+    # blending same frame twice is a no-op (alpha mixes identical pixels)
+    c2, w2 = W.warp_blend_fast(c1, w1, stack[:3], stack[3], H)
+    m = np.asarray(w2) > 0
+    assert _psnr_masked(np.asarray(c2), c1n, m) > 45
+
+
+def test_warp_blend_psnr_vs_reference_blend_pipeline(textured_image):
+    """End-to-end blend comparison against an OpenCV-style reference composite
+    (warpPerspective + distance-transform feathering, reference main.py:861-927)."""
+    img = textured_image[:HF, :WF]
+    stack = _stack_cm(img)
+    canvas = jnp.zeros((3, HC, WC), jnp.float32)
+    cw = jnp.zeros((HC, WC), jnp.float32)
+    H1 = _to3x3(HS["offset"].copy())
+    H2 = H1.copy()
+    H2[0, 2] += 25
+    H2[1, 2] -= 13
+    c, w = W.warp_blend_fast(canvas, cw, stack[:3], stack[3], jnp.asarray(H1))
+    c, w = W.warp_blend_fast(c, w, stack[:3], stack[3], jnp.asarray(H2))
+    ours = np.moveaxis(np.asarray(c), 0, -1)
+
+    # reference-style composite
+    f32 = img.astype(np.float32)
+    ref = np.zeros((HC, WC, 3), np.float32)
+    w1 = cv2.warpPerspective(f32, H1, (WC, HC))
+    ref[w1.sum(-1) > 0] = w1[w1.sum(-1) > 0]
+    w2 = cv2.warpPerspective(f32, H2, (WC, HC))
+    m_new = (w2.sum(-1) > 0).astype(np.uint8)
+    m_old = (ref.sum(-1) > 0).astype(np.uint8)
+    overlap = m_new & m_old
+    dn = cv2.distanceTransform(m_new * 255, cv2.DIST_L2, 3)
+    do = cv2.distanceTransform(m_old * 255, cv2.DIST_L2, 3)
+    alpha = dn / (dn + do + 1e-6)
+    blended = alpha[..., None] * w2 + (1 - alpha[..., None]) * ref
+    out = np.where(overlap[..., None] > 0, blended, np.where(m_new[..., None] > 0, w2, ref))
+
+    mask = (m_new | m_old) > 0
+    mask &= np.roll(mask, 4, 0) & np.roll(mask, -4, 0) & np.roll(mask, 4, 1) & np.roll(mask, -4, 1)
+    d = (ours - out)[mask]
+    p = 10 * np.log10(255.0**2 / max(float((d**2).mean()), 1e-12))
+    # feathering profiles differ slightly by design; demand good but not exact match
+    assert p > 28.0, p
