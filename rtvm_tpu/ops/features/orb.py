@@ -40,20 +40,36 @@ def brief_pattern(n_bits: int = 256, radius: int = 13, seed: int = 0x5EED) -> np
     return pts.astype(np.float32)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _moment_kernels(radius: int) -> np.ndarray:
+    """[P, P, 1, 2] conv kernels computing (m10, m01) circular-patch moments."""
+    d = np.arange(-radius, radius + 1, dtype=np.float32)
+    circ = (d[:, None] ** 2 + d[None, :] ** 2) <= radius * radius
+    kx = (circ * d[None, :]).astype(np.float32)
+    ky = (circ * d[:, None]).astype(np.float32)
+    return np.stack([kx, ky], axis=-1)[:, :, None, :]  # HWIO
+
 def _patch_moments(gray: jnp.ndarray, kps: Keypoints, radius: int):
-    """Intensity-centroid angle for each keypoint via a circular-mask patch gather."""
+    """Intensity-centroid angle per keypoint.
+
+    Computed as two full-image 31x31 convolutions (dx- and dy-weighted circular
+    kernels — one MXU-friendly conv) followed by a K-point gather, instead of
+    gathering K 31x31 patches (per-element gathers are the slow path on TPU)."""
     h, w = gray.shape
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-    circ = (d[:, None] ** 2 + d[None, :] ** 2) <= radius * radius  # [P, P]
-    cy = kps.xy[:, 1].astype(jnp.int32)
-    cx = kps.xy[:, 0].astype(jnp.int32)
-    ys = jnp.clip(cy[:, None, None] + d[None, :, None], 0, h - 1)
-    xs = jnp.clip(cx[:, None, None] + d[None, None, :], 0, w - 1)
-    patch = gray[ys, xs] * circ[None].astype(gray.dtype)  # [K, P, P]
-    dxf = d.astype(jnp.float32)
-    m10 = jnp.einsum("kpq,q->k", patch, dxf)
-    m01 = jnp.einsum("kpq,p->k", patch, dxf)
-    return jnp.arctan2(m01, m10)
+    k = jnp.asarray(_moment_kernels(radius))
+    x = gray[None, :, :, None]
+    mom = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1),
+        padding=[(radius, radius), (radius, radius)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0]  # [H, W, 2]
+    cy = jnp.clip(kps.xy[:, 1].astype(jnp.int32), 0, h - 1)
+    cx = jnp.clip(kps.xy[:, 0].astype(jnp.int32), 0, w - 1)
+    m = mom[cy, cx]  # [K, 2]
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def describe_orb(

@@ -76,15 +76,23 @@ def _resample_rows(rows: jnp.ndarray, pos: jnp.ndarray, wout: int, wpad: int, n_
     c, r, win = rows.shape
     assert r % n_blocks == 0, (r, n_blocks)
     rb = r // n_blocks
-    ell = wpad + 128  # slice length, 128-aligned
 
-    pad_left = _round_up(ell + 16, 128)
-    wtot = _round_up(win + pad_left + ell + 24, 128)
+    # The per-row anchor must be EXACT (n_i = floor(pos[i,0])) so that the residual
+    # positions s_rel[i, 0] are all in [0, 1) and the block-center approximation only
+    # absorbs the (tiny) slope variation across the block — never the per-row shear.
+    # `wpad` must cover the full residual range slope_max*wout (a row anchored left of
+    # the content still reaches content at large s_rel). pad_left covers the
+    # most-negative anchor with visible content; rows below that contribute nothing
+    # and are dropped via row_ok.
+    ell = wpad + 128  # slice length, 128-aligned
+    pad_left = _round_up(int(1.45 * wout) + 24, 128)
+    wtot = _round_up(win + pad_left + ell + 16, 128)
     pad_right = wtot - win - pad_left
 
     n_raw = jnp.floor(pos[:, 0])  # [R]
-    n = jnp.clip(n_raw, -pad_left, win + pad_right - ell - 1)
+    n = jnp.clip(n_raw, -pad_left + 1, win + 4)
     row_ok = (n_raw == n) & jnp.isfinite(n_raw)
+    n = jnp.where(jnp.isfinite(n), n, 0.0)
 
     padded = jnp.pad(rows, ((0, 0), (0, 0), (pad_left, pad_right)))
     starts = (pad_left + n).astype(jnp.int32)
@@ -95,18 +103,24 @@ def _resample_rows(rows: jnp.ndarray, pos: jnp.ndarray, wout: int, wpad: int, n_
 
     sh = jax.vmap(slice_one, in_axes=(1, 0), out_axes=0)(padded, starts)  # [R, C, ell]
 
-    f = (pos[:, 0] - n)[:, None, None]  # [R, 1, 1] fractional shift
+    f = jnp.clip((pos[:, 0] - n)[:, None, None], 0.0, 1.0)  # [R, 1, 1]
     sh = sh[:, :, :wpad] * (1.0 - f) + sh[:, :, 1 : wpad + 1] * f  # [R, C, wpad]
     sh = sh * row_ok[:, None, None]
 
-    # Residual positions relative to each row's own start, approximated per block.
-    s_rel = pos - pos[:, 0:1]  # [R, wout], s_rel[:, 0] = 0
+    # Residual positions relative to each row's own anchor, approximated per block.
+    s_rel = pos - (n + jnp.clip(pos[:, 0] - n, 0.0, 1.0))[:, None]  # [R, wout]
     d = s_rel.reshape(n_blocks, rb, wout)[:, rb // 2, :]  # [n_blocks, wout]
+    d = jnp.clip(d, -4.0, wpad + 4.0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (n_blocks, wpad, wout), 1)
     m = jnp.maximum(0.0, 1.0 - jnp.abs(xs - d[:, None, :]))  # banded interp weights
 
     blocks = sh.reshape(n_blocks, rb, c, wpad)
-    out = jnp.einsum("brcx,bxj->brcj", blocks, m, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "brcx,bxj->brcj",
+        blocks.astype(jnp.bfloat16),
+        m.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     return jnp.moveaxis(out.reshape(r, c, wout), 1, 0)  # [C, R, wout]
 
 

@@ -61,6 +61,21 @@ def dryrun_multichip(n_devices: int) -> None:
     from rtvm_tpu.config import FeatureConfig, MosaicConfig
     from rtvm_tpu.mosaic import stitcher as S
 
+    # Dryrun runs on a virtual-CPU mesh: this image pins JAX_PLATFORMS=axon via a
+    # plugin (env vars are ignored), so the switch must happen through jax.config
+    # BEFORE the backend initializes. If a backend is already live (RuntimeError),
+    # fall through and hope the live platform has enough devices.
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())} "
+            "(call dryrun_multichip before any other JAX use in the process)"
+        )
+
     mesh = make_mesh(n_devices)
     dp = mesh.devices.shape[0]
 

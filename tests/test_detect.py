@@ -1,0 +1,100 @@
+"""Detection layer tests: YOLO model shapes, NMS, dedup/area filters, class
+normalization, classical detectors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvm_tpu.detect import classes as C
+from rtvm_tpu.detect.detector import ObjectDetector, _iou
+from rtvm_tpu.models.yolo.model import build_yolo
+from rtvm_tpu.models.yolo import postprocess as pp
+
+
+def test_normalize_class_name():
+    assert C.normalize_class_name("roof") == "building"
+    assert C.normalize_class_name("Warehouse") == "building"
+    assert C.normalize_class_name("van") == "truck"
+    assert C.normalize_class_name("SUV") == "car"
+    assert C.normalize_class_name("flame burst") == "fire"
+    assert C.normalize_class_name("swimming pool") == "pool"
+    assert C.normalize_class_name("person") == "person"
+    assert C.normalize_class_name("weird thing") == "weird_thing"
+
+
+@pytest.fixture(scope="module")
+def tiny_yolo():
+    return build_yolo("yolov8n", num_classes=80, imgsz=64)
+
+
+def test_yolo_forward_shapes(tiny_yolo):
+    model, variables = tiny_yolo
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    box_l, cls_l = model.apply(variables, x, train=False)
+    assert [b.shape[1] for b in box_l] == [8, 4, 2]  # strides 8/16/32
+    assert box_l[0].shape[-1] == 64  # 4 * reg_max
+    assert cls_l[0].shape[-1] == 80
+
+
+def test_decode_and_nms(tiny_yolo):
+    model, variables = tiny_yolo
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    box_l, cls_l = model.apply(variables, x, train=False)
+    boxes, scores = pp.decode_predictions(box_l, cls_l)
+    n = 8 * 8 + 4 * 4 + 2 * 2
+    assert boxes.shape == (1, n, 4)
+    assert scores.shape == (1, n, 80)
+    det = pp.nms_fixed(boxes[0], scores[0], conf_threshold=0.0, iou_threshold=0.5, max_detections=16)
+    assert det.boxes.shape == (16, 4)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32
+    )
+    scores = jnp.asarray([[0.9], [0.8], [0.7]], jnp.float32)
+    det = pp.nms_fixed(boxes, scores, conf_threshold=0.1, iou_threshold=0.45, max_detections=3)
+    valid = np.asarray(det.valid)
+    assert valid.sum() == 2  # the two overlapping boxes collapse to one
+
+
+def test_dedup_and_area_filter():
+    dets = [
+        {"bbox": [0, 0, 30, 30], "class": "car", "confidence": 0.9},
+        {"bbox": [2, 2, 32, 32], "class": "car", "confidence": 0.5},  # dup
+        {"bbox": [100, 100, 130, 128], "class": "car", "confidence": 0.6},
+    ]
+    kept = ObjectDetector._dedup(dets, center_px=40.0, iou_th=0.5)
+    assert len(kept) == 2
+    assert kept[0]["confidence"] == 0.9
+    filtered = ObjectDetector._area_filter(
+        [
+            {"bbox": [0, 0, 5, 5], "class": "car", "confidence": 0.9},  # too small
+            {"bbox": [0, 0, 300, 300], "class": "car", "confidence": 0.9},  # too big
+            {"bbox": [0, 0, 30, 20], "class": "building", "confidence": 0.9},  # small building
+            {"bbox": [0, 0, 60, 40], "class": "building", "confidence": 0.9},  # ok
+        ],
+        400,
+        400,
+    )
+    assert len(filtered) == 1
+    assert filtered[0]["bbox"] == [0, 0, 60, 40]
+
+
+def test_iou_helper():
+    assert _iou([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
+    assert _iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+
+
+def test_classical_vehicle_detector_finds_bright_blob(rng):
+    import cv2
+
+    img = np.full((200, 200, 3), 60, np.uint8)
+    cv2.rectangle(img, (80, 90), (110, 105), (250, 250, 250), -1)  # bright car-ish blob
+    from rtvm_tpu.detect.classical import detect_vehicles_classical
+
+    dets = detect_vehicles_classical(img)
+    assert len(dets) >= 1
+    x1, y1, x2, y2 = dets[0]["bbox"]
+    assert abs((x1 + x2) / 2 - 95) < 10 and abs((y1 + y2) / 2 - 97) < 10
