@@ -1,0 +1,131 @@
+"""Depth-to-3D tests: unprojection geometry, voxel/outlier ops, ICP on known
+transforms, meshing, PLY/OBJ IO roundtrips, end-to-end pipelines."""
+
+import numpy as np
+import pytest
+
+from rtvm_tpu.depth3d import icp as icp_mod
+from rtvm_tpu.depth3d.mesh import depth_grid_mesh, heightfield_mesh_from_points
+from rtvm_tpu.depth3d.pointcloud import (
+    remove_statistical_outliers,
+    unproject_depth,
+    voxel_downsample,
+)
+from rtvm_tpu.io.ply import (
+    read_obj_mesh,
+    read_ply_points,
+    write_obj_mesh,
+    write_ply_points,
+)
+
+
+def test_unproject_geometry():
+    depth = np.full((100, 200), 0.5, np.float32)  # z = 0.5 * scale everywhere
+    pts, _ = unproject_depth(depth, fx=200.0, depth_scale=4.0, stride=1)
+    assert pts.shape[1] == 3
+    assert np.allclose(pts[:, 2], 2.0)
+    # center pixel maps to x ~ 0
+    center = pts[np.argmin(np.abs(pts[:, 0]) + np.abs(pts[:, 1]))]
+    assert abs(center[0]) < 0.02 and abs(center[1]) < 0.02
+
+
+def test_voxel_downsample_merges(rng):
+    pts = rng.rand(5000, 3).astype(np.float32)
+    out, _ = voxel_downsample(pts, 0.25)
+    assert len(out) < len(pts)
+    assert len(out) >= 4**3 * 0.5
+
+
+def test_outlier_removal(rng):
+    core = rng.randn(500, 3).astype(np.float32) * 0.1
+    outliers = rng.randn(20, 3).astype(np.float32) * 5 + 10
+    pts = np.concatenate([core, outliers])
+    kept, _, keep = remove_statistical_outliers(pts, 10, 2.0)
+    assert keep[:500].mean() > 0.95
+    assert keep[500:].mean() < 0.3
+
+
+def test_icp_recovers_transform(rng):
+    pts = rng.rand(800, 3).astype(np.float32) * 2
+    ang = 0.15
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    t = np.array([0.1, -0.05, 0.2], np.float32)
+    src = pts @ R.T + t  # moved cloud
+    res = icp_mod.register_clouds(src, pts, threshold=0.5, max_points=800)
+    assert float(res.fitness) > 0.9
+    # applying (R_est, t_est) to src should land on pts
+    back = src @ np.asarray(res.R).T + np.asarray(res.t)
+    err = np.linalg.norm(back - pts, axis=1)
+    assert np.median(err) < 0.05
+
+
+def test_depth_grid_mesh_counts():
+    depth = np.tile(np.linspace(0.2, 0.8, 64)[None, :], (48, 1)).astype(np.float32)
+    verts, faces, _ = depth_grid_mesh(depth, stride=4)
+    assert len(verts) == 12 * 16
+    assert len(faces) > 0
+    assert faces.max() < len(verts)
+
+
+def test_heightfield_mesh(rng):
+    pts = np.stack(
+        [rng.rand(2000) * 4, rng.rand(2000) * 4, np.sin(rng.rand(2000) * 3)], 1
+    ).astype(np.float32)
+    verts, faces, _ = heightfield_mesh_from_points(pts, grid=32)
+    assert len(verts) == 32 * 32
+    assert len(faces) == 2 * 31 * 31
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.rand(100, 3).astype(np.float32)
+    cols = (rng.rand(100, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "c.ply")
+    write_ply_points(p, pts, cols, binary=True)
+    rp, rc = read_ply_points(p)
+    assert np.allclose(rp, pts, atol=1e-6)
+    assert (rc == cols).all()
+    p2 = str(tmp_path / "c2.ply")
+    write_ply_points(p2, pts, cols, binary=False)
+    rp2, rc2 = read_ply_points(p2)
+    assert np.allclose(rp2, pts, atol=1e-4)
+
+
+def test_obj_roundtrip(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    p = str(tmp_path / "m.obj")
+    write_obj_mesh(p, verts, faces)
+    rv, rf = read_obj_mesh(p)
+    assert np.allclose(rv, verts)
+    assert (rf == faces).all()
+
+
+def test_single_image_pipeline(tmp_path, textured_image):
+    import cv2
+
+    ip = str(tmp_path / "img.png")
+    cv2.imwrite(ip, textured_image[:160, :200])
+    from rtvm_tpu.depth3d.pipeline import process_single_image
+
+    res = process_single_image(ip, output_dir=str(tmp_path))
+    import os
+
+    for k in ("cloud", "mesh", "visualization"):
+        assert os.path.exists(res[k]), k
+    assert len(res["points"]) > 1000
+
+
+def test_terrain_reconstructor(tmp_path, textured_image):
+    import cv2, os
+
+    ip = str(tmp_path / "terrain.png")
+    cv2.imwrite(ip, textured_image[:120, :160])
+    from rtvm_tpu.depth3d.pipeline import ImageTerrainReconstructor
+
+    r = ImageTerrainReconstructor(fast=True)
+    res = r.process(ip, output_dir=str(tmp_path))
+    for k in ("depth", "cloud", "mesh"):
+        assert os.path.exists(res[k]), k
