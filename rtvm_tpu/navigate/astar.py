@@ -26,9 +26,12 @@ def occupancy_grid(mask: np.ndarray, scale: int = 4, blocked_fraction: float = 0
 _NEIGHBORS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 
 
-def astar(grid: np.ndarray, start: Tuple[int, int], goal: Tuple[int, int]) -> Optional[List[Tuple[int, int]]]:
+def astar(
+    grid: np.ndarray, start: Tuple[int, int], goal: Tuple[int, int], use_native: bool = True
+) -> Optional[List[Tuple[int, int]]]:
     """8-connected A* on a bool grid (True = blocked). start/goal are (row, col).
-    Returns the cell path or None."""
+    Returns the cell path or None. Uses the C++ router (native/astar.cpp) when
+    available; pure-Python fallback below."""
     gh, gw = grid.shape
 
     def ok(r, c):
@@ -61,6 +64,12 @@ def astar(grid: np.ndarray, start: Tuple[int, int], goal: Tuple[int, int]) -> Op
                 break
         else:
             return None
+
+    if use_native:
+        from rtvm_tpu.navigate import native
+
+        if native.available():
+            return native.astar_native(grid, start, goal)
 
     def h(p):
         return max(abs(p[0] - goal[0]), abs(p[1] - goal[1]))
