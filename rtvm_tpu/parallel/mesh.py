@@ -127,3 +127,46 @@ def dryrun_multichip(n_devices: int) -> None:
         f"dryrun_multichip ok: mesh={mesh.devices.shape} dp={dp} "
         f"canvas={new_state.canvas.shape} sharding={new_state.canvas.sharding}"
     )
+
+    _dryrun_yolo_train(mesh)
+
+
+def _dryrun_yolo_train(mesh: Mesh) -> None:
+    """One sharded YOLO training step: dp over the batch, sp (spatial tensor
+    parallelism) over image rows — XLA inserts the conv halo exchanges."""
+    import jax.numpy as jnp
+    import optax
+
+    from rtvm_tpu.models.yolo.model import build_yolo
+    from rtvm_tpu.models.yolo.train import Targets, init_train_state, make_train_step
+
+    dp = mesh.devices.shape[0]
+    model, variables = build_yolo("yolov8n", num_classes=8, imgsz=64)
+    state, tx = init_train_state(model, variables)
+    raw_step = make_train_step(model, tx)
+
+    repl = NamedSharding(mesh, P())
+    img_sh = NamedSharding(mesh, P("dp", "tp", None, None))  # batch dp x rows sp
+
+    def sharded_step(st, images, targets):
+        images = jax.lax.with_sharding_constraint(images, img_sh)
+        return raw_step(st, images, targets)
+
+    step = jax.jit(sharded_step)
+
+    b = max(2, dp)
+    rngn = np.random.RandomState(0)
+    images = jnp.asarray(rngn.rand(b, 64, 64, 3).astype(np.float32))
+    targets = Targets(
+        boxes=jnp.asarray(
+            np.tile(np.array([[8.0, 8.0, 40.0, 40.0], [20.0, 24.0, 56.0, 60.0]], np.float32)[None], (b, 1, 1))
+        ),
+        classes=jnp.zeros((b, 2), jnp.int32),
+        valid=jnp.ones((b, 2), bool),
+    )
+    state = jax.device_put(state, repl)
+    images = jax.device_put(images, img_sh)
+    new_state, metrics = step(state, images, targets)
+    jax.block_until_ready(new_state.params)
+    assert int(new_state.step) == 1
+    print(f"yolo train dryrun ok: loss={float(metrics['loss']):.3f} mesh={mesh.devices.shape}")

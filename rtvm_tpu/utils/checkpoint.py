@@ -1,0 +1,62 @@
+"""Checkpoint / resume utilities.
+
+The reference has no checkpointing (SURVEY.md section 5); here both long-running
+surfaces are resumable:
+- the mosaic stitcher state (VideMosaic.checkpoint()/restore() — a plain pytree of
+  arrays) via numpy .npz snapshots;
+- YOLO training state via orbax when available, with an .npz fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+
+def save_pytree_npz(path: str, tree: Any) -> None:
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez_compressed(
+        path,
+        __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def load_pytree_npz(path: str, like: Any) -> Any:
+    """Restore a pytree saved by save_pytree_npz, using `like` for the structure."""
+    import jax
+
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def save_train_state(ckpt_dir: str, state, step: int) -> str:
+    """Orbax checkpoint when importable, .npz otherwise."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+        return path
+    except Exception:
+        path = os.path.join(ckpt_dir, f"step_{step}.npz")
+        save_pytree_npz(path, state)
+        return path
+
+
+def load_train_state(path: str, like):
+    if path.endswith(".npz"):
+        return load_pytree_npz(path, like)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, like)

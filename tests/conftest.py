@@ -24,11 +24,13 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def textured_image(rng):
+def textured_image():
     """A reproducible richly-textured test image (blurred noise + shapes) that gives
-    feature detectors something to find."""
+    feature detectors something to find. Uses its own RandomState so content does
+    not depend on test execution order."""
     import cv2
 
+    rng = np.random.RandomState(987)
     img = rng.randint(0, 255, (320, 440, 3)).astype(np.uint8)
     img = cv2.GaussianBlur(img, (0, 0), 1.2)
     for _ in range(40):
