@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--no-nav", action="store_true")
     m.add_argument("--max-frames", type=int, default=None)
     m.add_argument("--window", type=int, default=None, help="frames per jitted step")
+    m.add_argument("--per-frame-detect", action="store_true",
+                   help="run batched YOLO on every frame and export Detections/")
 
     s = sub.add_parser("slam", help="visual odometry / SLAM on a video")
     s.add_argument("video_path", nargs="?", default=None)
@@ -67,13 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--port", type=int, default=5000)
 
     sub.add_parser("gui", help="start the desktop GUI")
+    sub.add_parser("menu", help="interactive text menu (reference-style)")
     return p
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     # reference-compat: `rtvm <video.mp4>` with no subcommand = mosaic
-    known = {"mosaic", "slam", "depth3d", "terrain", "stereo-demo", "view", "web", "gui", "-h", "--help"}
+    known = {"mosaic", "slam", "depth3d", "terrain", "stereo-demo", "view", "web", "gui", "menu", "-h", "--help"}
     if argv and argv[0] not in known:
         argv = ["mosaic"] + argv
     elif not argv:
@@ -98,6 +101,7 @@ def main(argv=None):
             detector_type=args.detector,
             enable_detection=not args.no_detect,
             enable_navigation=not args.no_nav,
+            per_frame_detection=args.per_frame_detect,
             config=cfg,
             max_frames=args.max_frames,
         )
@@ -189,6 +193,10 @@ def main(argv=None):
         from ui.gui import main as gui_main
 
         gui_main()
+    elif args.cmd == "menu":
+        from rtvm_tpu.menus import main_menu
+
+        main_menu()
 
 
 import numpy as np  # noqa: E402  (stereo-demo uses it)

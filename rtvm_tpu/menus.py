@@ -1,0 +1,165 @@
+"""Interactive text menus — parity with the reference's input()-driven UIs
+(slam.py main_menu:1620-1710, run_soil_analyzer:1428-1617, depth_to_3d.py
+main:1178-1396). All actions delegate to the same code paths as the scriptable CLI
+subcommands; these menus exist for drop-in interactive use.
+"""
+
+from __future__ import annotations
+
+import os
+
+from rtvm_tpu.slam.runner import get_video_files
+
+BANNER = """
+==================================================
+  rtvm_tpu — аэровидео: мозаика / SLAM / 3D / почва
+==================================================
+"""
+
+LIBRARIES_INFO = """
+Использумые технологии (замена стека из референса):
+  JAX/XLA (TPU)  — все вычислительные ядра (признаки, RANSAC, варп, LK, SGM, ICP)
+  Flax           — YOLOv8 и сеть глубины
+  OpenCV         — только декодирование видео и host-side контуры/калибровка
+  C++ (native/)  — A* маршрутизация
+  matplotlib     — 3D-просмотр (Open3D/Plotly при наличии)
+"""
+
+
+def _pick_video() -> str | None:
+    vids = get_video_files()
+    if not vids:
+        path = input("Путь к видео: ").strip()
+        return path or None
+    for i, v in enumerate(vids, 1):
+        print(f"  {i}. {os.path.basename(v)}")
+    sel = input("Номер видео (или путь): ").strip()
+    if sel.isdigit() and 1 <= int(sel) <= len(vids):
+        return vids[int(sel) - 1]
+    return sel or None
+
+
+def slam_menu():
+    while True:
+        print("\n1. SLAM по видео\n2. SLAM с веб-камеры\n3. 3D-траектория\n4. Библиотеки\n5. Анализ почвы\n0. Выход")
+        c = input("> ").strip()
+        if c == "1":
+            v = _pick_video()
+            if v:
+                from rtvm_tpu.slam.runner import run_slam_on_video
+
+                run_slam_on_video(v)
+        elif c == "2":
+            from rtvm_tpu.slam.runner import run_slam_webcam
+
+            run_slam_webcam()
+        elif c == "3":
+            p = input("Путь к slam_trajectory_final.npy [test_output/...]: ").strip() or \
+                "test_output/slam_trajectory_final.npy"
+            from rtvm_tpu.slam.runner import visualize_trajectory_3d
+
+            print(visualize_trajectory_3d(p))
+        elif c == "4":
+            print(LIBRARIES_INFO)
+        elif c == "5":
+            soil_menu()
+        elif c == "0":
+            return
+
+
+def soil_menu():
+    from rtvm_tpu.slam.terrain import TerrainSoilAnalyzer
+
+    analyzer = TerrainSoilAnalyzer()
+    while True:
+        print("\n1. Анализ файла\n2. Пакетный анализ каталога\n3. Справка о типах почв\n0. Назад")
+        c = input("> ").strip()
+        if c == "1":
+            import cv2
+
+            p = input("Путь к изображению: ").strip()
+            img = cv2.imread(p)
+            if img is None:
+                print("не удалось открыть")
+                continue
+            res = analyzer.analyze_image(img)
+            print(analyzer.report(res))
+            out = os.path.join("test_output", f"soil_{os.path.basename(p)}")
+            os.makedirs("test_output", exist_ok=True)
+            cv2.imwrite(out, analyzer.visualize(img, res))
+            print(f"Сохранено: {out}")
+        elif c == "2":
+            import cv2
+            import glob
+
+            d = input("Каталог: ").strip()
+            for p in sorted(glob.glob(os.path.join(d, "*.jpg")) + glob.glob(os.path.join(d, "*.png"))):
+                img = cv2.imread(p)
+                if img is None:
+                    continue
+                res = analyzer.analyze_image(img)
+                print(f"{os.path.basename(p)}: {res['soil_type']} ({res['confidence']:.2f})")
+        elif c == "3":
+            from rtvm_tpu.slam.terrain import SOIL_TYPES
+
+            for name, pr in SOIL_TYPES.items():
+                print(f"  {name}: плодородие {pr['fertility']}, pH {pr['ph']}, культуры: {', '.join(pr['crops'])}")
+        elif c == "0":
+            return
+
+
+def depth3d_menu():
+    while True:
+        print("\n1. Видео -> 3D\n2. Изображение -> 3D\n3. Один кадр видео -> 3D\n4. Мульти-вью -> 3D\n0. Выход")
+        c = input("> ").strip()
+        from rtvm_tpu.depth3d.pipeline import (
+            process_multiple_images_to_3d,
+            process_single_image,
+            process_video_to_3d_model,
+        )
+
+        if c == "1":
+            v = _pick_video()
+            if v:
+                process_video_to_3d_model(v)
+        elif c == "2":
+            p = input("Путь к изображению: ").strip()
+            process_single_image(p)
+        elif c == "3":
+            v = _pick_video()
+            if v:
+                process_video_to_3d_model(v, single_frame=True)
+        elif c == "4":
+            d = input("Каталог изображений: ").strip()
+            import glob
+
+            paths = sorted(glob.glob(os.path.join(d, "*.jpg")) + glob.glob(os.path.join(d, "*.png")))
+            mode = input("Режим углов (auto/uniform/manual) [auto]: ").strip() or "auto"
+            process_multiple_images_to_3d(paths, angle_mode=mode)
+        elif c == "0":
+            return
+
+
+def main_menu():
+    print(BANNER)
+    while True:
+        print("\n1. Мозаика из видео\n2. SLAM-меню\n3. 3D-реконструкция\n4. Анализ почвы\n0. Выход")
+        c = input("> ").strip()
+        if c == "1":
+            v = _pick_video()
+            if v:
+                from rtvm_tpu.pipelines.mosaic_pipeline import main as run
+
+                run(v)
+        elif c == "2":
+            slam_menu()
+        elif c == "3":
+            depth3d_menu()
+        elif c == "4":
+            soil_menu()
+        elif c == "0":
+            return
+
+
+if __name__ == "__main__":
+    main_menu()

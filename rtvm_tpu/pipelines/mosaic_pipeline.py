@@ -33,6 +33,8 @@ def run_mosaic(
     callback_every: int = 10,
     max_frames: Optional[int] = None,
     timer: Optional[StageTimer] = None,
+    per_frame_detector=None,
+    detections_dir: Optional[str] = None,
 ) -> tuple[VideMosaic, dict]:
     """Stitch a whole video. Returns (stitcher, stats).
 
@@ -57,11 +59,28 @@ def run_mosaic(
 
     frame_count = 1
     ok_frames = 0
+    per_frame_dets = []
     t0 = time.perf_counter()
     windows = 0
     for frames, n_valid in reader.windows():
         with timer.stage("window"):
             aux = mosaic.process_window(frames)
+        if per_frame_detector is not None:
+            # batched per-frame detection over the same window (BASELINE config 3)
+            with timer.stage("detect"):
+                dets = per_frame_detector._run_pass(frames[:n_valid], imgsz=640, conf=0.25, iou=0.45)
+            per_frame_dets.extend(dets)
+            if detections_dir is not None:
+                import cv2
+
+                os.makedirs(detections_dir, exist_ok=True)
+                for i, d in enumerate(dets):
+                    if d:
+                        vis = per_frame_detector.draw_detections(frames[i], d)
+                        cv2.imwrite(
+                            os.path.join(detections_dir, f"frame_{frame_count + i:05d}_detected.jpg"),
+                            vis,
+                        )
         windows += 1
         frame_count += n_valid
         ok_frames += int(np.asarray(aux.ok)[:n_valid].sum())
@@ -82,6 +101,8 @@ def run_mosaic(
         "elapsed_s": elapsed,
         "fps": frame_count / elapsed if elapsed > 0 else 0.0,
     }
+    if per_frame_detector is not None:
+        stats["per_frame_detections"] = sum(len(d) for d in per_frame_dets)
     return mosaic, stats
 
 
@@ -94,6 +115,7 @@ def main(
     detector_type: str = "sift",
     enable_detection: bool = True,
     enable_navigation: bool = True,
+    per_frame_detection: bool = False,
     config: Optional[PipelineConfig] = None,
     max_frames: Optional[int] = None,
 ):
@@ -112,6 +134,14 @@ def main(
 
     video_path = video_path or DEFAULT_VIDEO
     timer = StageTimer()
+    det = None
+    if per_frame_detection:
+        try:
+            from rtvm_tpu.detect.detector import ObjectDetector
+
+            det = ObjectDetector(model=config.detect.model)
+        except Exception as e:
+            print(f"Предупреждение: покадровая детекция недоступна: {e}")
     mosaic, stats = run_mosaic(
         video_path,
         config=config.mosaic,
@@ -119,6 +149,8 @@ def main(
         update_callback=update_callback,
         max_frames=max_frames,
         timer=timer,
+        per_frame_detector=det,
+        detections_dir=os.path.join(out_dir, "Detections") if det else None,
     )
     print(f"Скорость сшивки: {stats['fps']:.1f} кадров/с ({stats['frames']} кадров)")
 
