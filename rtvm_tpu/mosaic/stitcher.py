@@ -92,6 +92,27 @@ def _match_pair(desc_q, valid_q, desc_t, valid_t, cfg: MosaicConfig):
     return match_ops.match_l2_ratio(desc_q, valid_q, desc_t, valid_t, cfg.match.ratio)
 
 
+_STEP_CACHE: dict = {}
+_FEATURE_CACHE: dict = {}
+
+
+def get_feature_fn(cfg: MosaicConfig):
+    if cfg not in _FEATURE_CACHE:
+        _FEATURE_CACHE[cfg] = jax.jit(
+            lambda f: _extract_features(color.bgr2gray(f), cfg)
+        )
+    return _FEATURE_CACHE[cfg]
+
+
+def get_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
+    """Process-global cache of jitted window steps keyed by (frame shape, config).
+    Without this every VideMosaic instance would recompile the step (~25 s)."""
+    key = (frame_shape, cfg)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = make_window_step(frame_shape, cfg)
+    return _STEP_CACHE[key]
+
+
 def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
     """Build the jitted window step for a given frame shape + config.
 
@@ -235,9 +256,7 @@ class VideMosaic:
         self.h_offset = int(wc / 2 - w / 2)  # col offset
 
         self._window_steps = {}  # window size -> jitted step
-        self._feature_fn = jax.jit(
-            lambda f: _extract_features(color.bgr2gray(f), self.config)
-        )
+        self._feature_fn = get_feature_fn(self.config)
         self._key = jax.random.PRNGKey(seed)
         # Device-resident invariants, passed as jit ARGS each step (see make_window_step
         # performance note — they must not become executable constants).
@@ -289,9 +308,9 @@ class VideMosaic:
 
     # -------------------------------------------------------------- stepping
     def _get_step(self, b: int):
-        if b not in self._window_steps:
-            self._window_steps[b] = make_window_step(self.frame_shape, self.config)
-        return self._window_steps[b]
+        # b is part of the jit specialization implicitly (frames shape); the step
+        # function itself is shared process-wide.
+        return get_window_step(self.frame_shape, self.config)
 
     def process_window(self, frames: np.ndarray) -> WindowAux:
         """Process a [B, H, W, 3] uint8 window of consecutive frames (fast path)."""

@@ -1,14 +1,20 @@
-"""Oriented-BRIEF (rBRIEF) descriptors as batched TPU gathers.
+"""Oriented-BRIEF (rBRIEF) descriptors without dynamic gathers.
 
 TPU-native replacement for the descriptor stage of cv2.ORB_create(700) (reference
-main.py:36). Orientation uses the intensity-centroid moment of a circular patch
-(as in the ORB paper); the 256 binary tests use a fixed, seeded Gaussian test pattern
-steered by the keypoint angle, sampled from a sigma=2 blurred image, and packed into
-8 uint32 words so matching can run as XOR + popcount.
+main.py:36). Per-element dynamic gathers cost ~8 ms per million points on TPU, so
+this formulation avoids them entirely:
 
-Design note: the descriptor is *self-consistent* (our detector matches our descriptor);
-bit-for-bit parity with OpenCV's learned BRIEF pattern is neither needed nor desirable —
-both sides of every match come from this code.
+1. one 32x32 patch per keypoint is extracted with vmap'd dynamic_slice (the fast
+   sliced-DMA path) from the sigma-blurred image;
+2. the intensity-centroid orientation comes from two masked einsum reductions over
+   the patches;
+3. the angle is quantized to 32 bins (cv2's ORB quantizes to 30); for every bin the
+   rotated 256-pair test pattern is precomputed as STATIC flat-patch indices, so
+   sampling is constant-index advanced indexing (compiled to static slices), and the
+   per-keypoint bin is applied as a one-hot einsum over the 32 candidate bit-vectors.
+
+The descriptor is self-consistent (our detector matches our descriptor); bit-parity
+with OpenCV's learned pattern is neither needed nor possible.
 """
 
 from __future__ import annotations
@@ -22,7 +28,9 @@ import numpy as np
 
 from rtvm_tpu.ops.features.fast import Keypoints
 from rtvm_tpu.ops.filters import gaussian_blur
-from rtvm_tpu.ops.sampling import nearest_sample
+
+PATCH = 32  # patch side; radius 15 covers the rotated 13-px pattern at any angle
+N_ANGLE_BINS = 32
 
 
 class Descriptors(NamedTuple):
@@ -40,36 +48,45 @@ def brief_pattern(n_bits: int = 256, radius: int = 13, seed: int = 0x5EED) -> np
     return pts.astype(np.float32)
 
 
-import functools as _functools
+@functools.lru_cache(maxsize=8)
+def _rotated_index_tables(n_bits: int, radius: int, patch: int = PATCH, bins: int = N_ANGLE_BINS):
+    """Static per-bin nearest-pixel flat indices into a patch**2 vector:
+    (idx1 [bins, n_bits], idx2 [bins, n_bits]) int32."""
+    pat = brief_pattern(n_bits, radius)
+    ctr = (patch - 1) / 2.0
+    idx1 = np.zeros((bins, n_bits), np.int32)
+    idx2 = np.zeros((bins, n_bits), np.int32)
+    for b in range(bins):
+        th = 2.0 * np.pi * b / bins
+        c, s = np.cos(th), np.sin(th)
+        for (xcol, ycol), out in (((0, 1), idx1), ((2, 3), idx2)):
+            px, py = pat[:, xcol], pat[:, ycol]
+            rx = np.clip(np.round(ctr + c * px - s * py), 0, patch - 1).astype(np.int32)
+            ry = np.clip(np.round(ctr + s * px + c * py), 0, patch - 1).astype(np.int32)
+            out[b] = ry * patch + rx
+    return idx1, idx2
 
 
-@_functools.lru_cache(maxsize=8)
-def _moment_kernels(radius: int) -> np.ndarray:
-    """[P, P, 1, 2] conv kernels computing (m10, m01) circular-patch moments."""
-    d = np.arange(-radius, radius + 1, dtype=np.float32)
-    circ = (d[:, None] ** 2 + d[None, :] ** 2) <= radius * radius
-    kx = (circ * d[None, :]).astype(np.float32)
-    ky = (circ * d[:, None]).astype(np.float32)
-    return np.stack([kx, ky], axis=-1)[:, :, None, :]  # HWIO
+@functools.lru_cache(maxsize=4)
+def _moment_masks(radius: int = 15, patch: int = PATCH):
+    """Circular-mask dx/dy weight grids [patch, patch] for intensity moments."""
+    d = np.arange(patch, dtype=np.float32) - (patch - 1) / 2.0
+    yy, xx = np.meshgrid(d, d, indexing="ij")
+    circ = (yy**2 + xx**2) <= radius * radius
+    return (circ * xx).astype(np.float32), (circ * yy).astype(np.float32)
 
-def _patch_moments(gray: jnp.ndarray, kps: Keypoints, radius: int):
-    """Intensity-centroid angle per keypoint.
 
-    Computed as two full-image 31x31 convolutions (dx- and dy-weighted circular
-    kernels — one MXU-friendly conv) followed by a K-point gather, instead of
-    gathering K 31x31 patches (per-element gathers are the slow path on TPU)."""
-    h, w = gray.shape
-    k = jnp.asarray(_moment_kernels(radius))
-    x = gray[None, :, :, None]
-    mom = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1),
-        padding=[(radius, radius), (radius, radius)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0]  # [H, W, 2]
-    cy = jnp.clip(kps.xy[:, 1].astype(jnp.int32), 0, h - 1)
-    cx = jnp.clip(kps.xy[:, 0].astype(jnp.int32), 0, w - 1)
-    m = mom[cy, cx]  # [K, 2]
-    return jnp.arctan2(m[:, 1], m[:, 0])
+def extract_patches(img: jnp.ndarray, kps: Keypoints, patch: int = PATCH) -> jnp.ndarray:
+    """[K, patch, patch] patches centered on integer keypoint coords (clamped)."""
+    h, w = img.shape
+    half = patch // 2
+    ys = jnp.clip(kps.xy[:, 1].astype(jnp.int32) - half, 0, h - patch)
+    xs = jnp.clip(kps.xy[:, 0].astype(jnp.int32) - half, 0, w - patch)
+
+    def one(y0, x0):
+        return jax.lax.dynamic_slice(img, (y0, x0), (patch, patch))
+
+    return jax.vmap(one)(ys, xs)
 
 
 def describe_orb(
@@ -81,31 +98,30 @@ def describe_orb(
     orientation_radius: int = 15,
 ) -> Descriptors:
     """Compute steered-BRIEF descriptors for a fixed-K keypoint set on one [H, W] image."""
-    angle = _patch_moments(gray, kps, orientation_radius)
     smooth = gaussian_blur(gray, blur_sigma)
+    patches = extract_patches(smooth, kps)  # [K, P, P]
+    k = patches.shape[0]
 
-    pat = jnp.asarray(brief_pattern(n_bits, pattern_radius))  # [N, 4]
-    c, s = jnp.cos(angle), jnp.sin(angle)  # [K]
-    kx = kps.xy[:, 0][:, None]
-    ky = kps.xy[:, 1][:, None]
+    mx, my = _moment_masks(orientation_radius)
+    m10 = jnp.einsum("kpq,pq->k", patches, jnp.asarray(mx))
+    m01 = jnp.einsum("kpq,pq->k", patches, jnp.asarray(my))
+    angle = jnp.arctan2(m01, m10)
 
-    def rot_x(px, py):
-        return kx + c[:, None] * px[None, :] - s[:, None] * py[None, :]
+    idx1, idx2 = _rotated_index_tables(n_bits, pattern_radius)
+    flat = patches.reshape(k, PATCH * PATCH)
+    # static-index sampling for ALL bins at once: [K, bins, n_bits]
+    v1 = flat[:, jnp.asarray(idx1)]
+    v2 = flat[:, jnp.asarray(idx2)]
+    bits_all = (v1 < v2).astype(jnp.float32)
 
-    def rot_y(px, py):
-        return ky + s[:, None] * px[None, :] + c[:, None] * py[None, :]
-
-    x1 = rot_x(pat[:, 0], pat[:, 1])
-    y1 = rot_y(pat[:, 0], pat[:, 1])
-    x2 = rot_x(pat[:, 2], pat[:, 3])
-    y2 = rot_y(pat[:, 2], pat[:, 3])
-
-    i1 = nearest_sample(smooth, x1, y1)  # [K, N]
-    i2 = nearest_sample(smooth, x2, y2)
-    bits = (i1 < i2).astype(jnp.uint32)  # [K, N]
+    bin_f = (angle % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * N_ANGLE_BINS
+    bin_i = jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS
+    onehot = jax.nn.one_hot(bin_i, N_ANGLE_BINS, dtype=jnp.float32)  # [K, bins]
+    bits = jnp.einsum("kb,kbn->kn", onehot, bits_all) > 0.5  # [K, n_bits]
 
     words = n_bits // 32
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    packed = jnp.sum(bits.reshape(-1, words, 32) << shifts[None, None, :], axis=-1)
-    packed = packed.astype(jnp.uint32)
+    packed = jnp.sum(
+        bits.astype(jnp.uint32).reshape(-1, words, 32) << shifts[None, None, :], axis=-1
+    ).astype(jnp.uint32)
     return Descriptors(bits=packed, angle=angle, valid=kps.valid)

@@ -60,11 +60,13 @@ def run_mosaic(
     frame_count = 1
     ok_frames = 0
     per_frame_dets = []
+    aux_pending = []  # device-side aux; fetched after the loop so the TPU never stalls
     t0 = time.perf_counter()
     windows = 0
     for frames, n_valid in reader.windows():
         with timer.stage("window"):
             aux = mosaic.process_window(frames)
+        aux_pending.append((aux, n_valid))
         if per_frame_detector is not None:
             # batched per-frame detection over the same window (BASELINE config 3)
             with timer.stage("detect"):
@@ -83,7 +85,6 @@ def run_mosaic(
                         )
         windows += 1
         frame_count += n_valid
-        ok_frames += int(np.asarray(aux.ok)[:n_valid].sum())
         if frame_count % 50 < config.window_size:
             pct = 100.0 * frame_count / total_hint if total_hint else 0.0
             print(f"Обработан кадр {frame_count}/{total_hint or '?'} ({pct:.1f}%)")
@@ -94,6 +95,8 @@ def run_mosaic(
     # make sure all device work is done before timing
     np.asarray(mosaic.state.frame_idx)
     elapsed = time.perf_counter() - t0
+    for aux, n_valid in aux_pending:
+        ok_frames += int(np.asarray(aux.ok)[:n_valid].sum())
 
     stats = {
         "frames": frame_count,
