@@ -1,32 +1,42 @@
-"""SIFT-style DoG features as fixed-shape XLA ops.
+"""SIFT-style DoG features as fixed-shape, gather-free XLA ops.
 
-TPU-native replacement for cv2.SIFT_create(700) (reference main.py:33): a Gaussian
+TPU-native replacement for cv2.SIFT_create(700) (reference main.py:33): Gaussian
 scale-space pyramid, DoG extrema with contrast + edge (Hessian-ratio) tests and 2D
-subpixel refinement, dominant gradient orientation, and 4x4x8 = 128-d gradient-histogram
-descriptors.
+subpixel refinement, dominant gradient orientation, and 4x4x8 = 128-d
+gradient-histogram descriptors.
 
-Everything is shape-stable under jit: each octave contributes a fixed keypoint quota
-(geometric split of max_keypoints) selected by top-k over its DoG responses; the soft
-trilinear histogram binning is expressed as one batched einsum ([16 spatial bins x S
-samples] @ [S samples x 8 orientation bins]) which lands on the MXU.
+Per-element dynamic gathers are the slow path on TPU (~8 ms per 1M points), so the
+descriptor stage avoids them:
+- one fixed-size patch per keypoint is cut from each candidate DoG level with vmap'd
+  dynamic_slice (sliced-DMA fast path) and the keypoint's level is applied as a
+  one-hot select over the (few) levels;
+- gradient magnitude/orientation are elementwise within patches;
+- the dominant orientation is a 36-bin mag-weighted histogram via one einsum;
+- descriptors quantize the keypoint angle into 16 bins: per-bin rotated spatial-bin
+  weight tables are STATIC [bins, P^2, 16] constants, selected per keypoint by a
+  one-hot einsum; orientation binning stays continuous (the angle is subtracted
+  before soft 8-bin binning). All heavy contractions land on the MXU.
 
-Self-consistency note: descriptors only ever match other descriptors from this code, so
-bit-parity with OpenCV's implementation is not a goal; geometric accuracy (subpixel
-keypoints, rotation invariance) is.
+Self-consistency note: descriptors only ever match other descriptors from this code;
+geometric accuracy (subpixel keypoints, rotation invariance) is the target, not
+bit-parity with OpenCV.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rtvm_tpu.ops.filters import gaussian_blur, maxpool3x3
-from rtvm_tpu.ops.sampling import bilinear_sample
+
+PATCH = 32  # descriptor patch side (octave pixels)
+N_ROT_BINS = 16  # quantized keypoint-angle bins for the spatial weight tables
+N_SPATIAL = 4  # 4x4 spatial bins
+N_ORI = 8  # orientation bins -> 128-d
 
 
 def _octave_quotas(k: int, octaves: int) -> list[int]:
@@ -37,35 +47,24 @@ def _octave_quotas(k: int, octaves: int) -> list[int]:
     return [int(x) for x in q]
 
 
-def _detect_octave(gauss, dogs, quota, contrast_threshold, edge_r, border):
-    """Find up to `quota` extrema in one octave.
-
-    gauss: [L, H, W] Gaussian levels; dogs: [L-1, H, W]. Extrema are sought in DoG
-    layers 1..L-3 (each compared against its 3x3x3 neighbourhood).
-    Returns (xy [Q,2] octave coords, level [Q] int32, score [Q], valid [Q]).
-    """
+def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
+    """Find up to `quota` extrema in one octave's DoG stack [L-1, H, W].
+    Returns (xy [Q,2] octave coords, level [Q] int32 (1..s), score, valid)."""
     nl, h, w = dogs.shape
     mid = dogs[1:-1]  # [S, H, W] candidate layers
 
-    # 3x3x3 neighbourhood max/min via 2D maxpool + cross-layer comparisons.
-    def pool(x):
-        return maxpool3x3(x)
-
-    pmax = pool(dogs)
-    pmin = -pool(-dogs)
-    is_max = (mid >= pmax[:-2]) & (mid >= pmax[2:]) & (mid >= pool(mid) - 1e-12) & (mid > 0)
-    is_min = (mid <= pmin[:-2]) & (mid <= pmin[2:]) & (mid <= -pool(-mid) + 1e-12) & (mid < 0)
+    pmax = maxpool3x3(dogs)
+    pmin = -maxpool3x3(-dogs)
+    is_max = (mid >= pmax[:-2]) & (mid >= pmax[2:]) & (mid >= maxpool3x3(mid) - 1e-12) & (mid > 0)
+    is_min = (mid <= pmin[:-2]) & (mid <= pmin[2:]) & (mid <= -maxpool3x3(-mid) + 1e-12) & (mid < 0)
     score = jnp.abs(mid)
     extremum = (is_max | is_min) & (score > contrast_threshold)
 
-    # Edge rejection: Hessian trace^2/det test (Lowe r = edge_r).
-    dxx = jnp.roll(mid, -1, axis=2) + jnp.roll(mid, 1, axis=2) - 2 * mid
-    dyy = jnp.roll(mid, -1, axis=1) + jnp.roll(mid, 1, axis=1) - 2 * mid
+    dxx = jnp.roll(mid, -1, 2) + jnp.roll(mid, 1, 2) - 2 * mid
+    dyy = jnp.roll(mid, -1, 1) + jnp.roll(mid, 1, 1) - 2 * mid
     dxy = 0.25 * (
-        jnp.roll(jnp.roll(mid, -1, 1), -1, 2)
-        + jnp.roll(jnp.roll(mid, 1, 1), 1, 2)
-        - jnp.roll(jnp.roll(mid, -1, 1), 1, 2)
-        - jnp.roll(jnp.roll(mid, 1, 1), -1, 2)
+        jnp.roll(jnp.roll(mid, -1, 1), -1, 2) + jnp.roll(jnp.roll(mid, 1, 1), 1, 2)
+        - jnp.roll(jnp.roll(mid, -1, 1), 1, 2) - jnp.roll(jnp.roll(mid, 1, 1), -1, 2)
     )
     tr = dxx + dyy
     det = dxx * dyy - dxy * dxy
@@ -83,7 +82,6 @@ def _detect_octave(gauss, dogs, quota, contrast_threshold, edge_r, border):
     kx = rem % w
     valid = top > 0.0
 
-    # 2D subpixel refinement from the DoG spatial quadratic around each keypoint.
     g_x = 0.5 * (mid[lvl, ky, jnp.clip(kx + 1, 0, w - 1)] - mid[lvl, ky, jnp.clip(kx - 1, 0, w - 1)])
     g_y = 0.5 * (mid[lvl, jnp.clip(ky + 1, 0, h - 1), kx] - mid[lvl, jnp.clip(ky - 1, 0, h - 1), kx])
     hxx = dxx[lvl, ky, kx]
@@ -98,123 +96,99 @@ def _detect_octave(gauss, dogs, quota, contrast_threshold, edge_r, border):
     return xy, (lvl + 1).astype(jnp.int32), jnp.where(valid, top, 0.0), valid
 
 
-def _orientation(gmag, gori, xy, lvl, sigmas, radius):
-    """Dominant gradient orientation per keypoint via a 36-bin weighted histogram.
-
-    gmag/gori: [L, H, W]; xy [Q, 2] octave coords; lvl [Q] level index; sigmas [L].
+@functools.lru_cache(maxsize=8)
+def _static_tables(sigma_desc: float):
+    """Static weight tables:
+    - ori window [P, P] Gaussian for the 36-bin orientation histogram;
+    - per-rotation-bin spatial weights [N_ROT_BINS, P*P, 16] with the descriptor's
+      Gaussian window folded in.
     """
-    h, w = gmag.shape[1], gmag.shape[2]
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    dy = d[:, None, None]
-    dx = d[None, :, None]  # broadcasting helpers
+    ctr = (PATCH - 1) / 2.0
+    d = np.arange(PATCH, dtype=np.float32) - ctr
+    yy, xx = np.meshgrid(d, d, indexing="ij")
+    r2 = xx**2 + yy**2
+    ori_win = np.exp(-r2 / (2.0 * (0.4 * PATCH / 2) ** 2)).astype(np.float32)
 
-    cy = xy[:, 1].astype(jnp.int32)
-    cx = xy[:, 0].astype(jnp.int32)
-    ys = jnp.clip(cy[:, None, None] + d.astype(jnp.int32)[None, :, None], 0, h - 1)
-    xs = jnp.clip(cx[:, None, None] + d.astype(jnp.int32)[None, None, :], 0, w - 1)
-    lv = lvl[:, None, None]
-    mag = gmag[lv, ys, xs]  # [Q, P, P]
-    ori = gori[lv, ys, xs]
+    R = sigma_desc  # descriptor support radius in patch pixels
+    spatial = np.zeros((N_ROT_BINS, PATCH * PATCH, N_SPATIAL * N_SPATIAL), np.float32)
+    for b in range(N_ROT_BINS):
+        th = 2.0 * np.pi * b / N_ROT_BINS
+        c, s = np.cos(th), np.sin(th)
+        # rotate pixel offsets into the keypoint frame
+        u = (c * xx + s * yy) / R  # [-..,..] normalized
+        v = (-s * xx + c * yy) / R
+        bx = (u + 1.0) * 0.5 * N_SPATIAL - 0.5
+        by = (v + 1.0) * 0.5 * N_SPATIAL - 0.5
+        win = np.exp(-(u**2 + v**2) / (2.0 * 0.5**2))
+        for iy in range(N_SPATIAL):
+            wy = np.maximum(0.0, 1.0 - np.abs(by - iy))
+            for ix in range(N_SPATIAL):
+                wx = np.maximum(0.0, 1.0 - np.abs(bx - ix))
+                spatial[b, :, iy * N_SPATIAL + ix] = (wy * wx * win).reshape(-1)
+    return ori_win, spatial
 
-    sig_ori = 1.5 * sigmas[lvl]  # [Q]
-    r2 = d[:, None] ** 2 + d[None, :] ** 2  # [P, P]
-    wgt = jnp.exp(-r2[None] / (2.0 * (sig_ori**2)[:, None, None])) * mag
 
-    bins = jnp.floor(ori / (2.0 * jnp.pi) * 36.0).astype(jnp.int32) % 36  # [Q, P, P]
-    onehot = jax.nn.one_hot(bins.reshape(bins.shape[0], -1), 36, dtype=jnp.float32)
-    hist = jnp.einsum("qs,qsb->qb", wgt.reshape(wgt.shape[0], -1), onehot)
-    # light circular smoothing of the histogram
-    hist = (
-        hist
-        + 0.5 * (jnp.roll(hist, 1, axis=1) + jnp.roll(hist, -1, axis=1))
-    )
+def _extract_level_patches(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.ndarray):
+    """Cut [Q, P, P] patches at integer coords from the keypoint's own level.
+    gauss_mid: [S, H, W] (levels 1..s of the Gaussian stack); lvl in 1..s."""
+    s, h, w = gauss_mid.shape
+    half = PATCH // 2
+    ys = jnp.clip(xy[:, 1].astype(jnp.int32) - half, 0, h - PATCH)
+    xs = jnp.clip(xy[:, 0].astype(jnp.int32) - half, 0, w - PATCH)
+
+    def per_level(img):
+        def one(y0, x0):
+            return jax.lax.dynamic_slice(img, (y0, x0), (PATCH, PATCH))
+
+        return jax.vmap(one)(ys, xs)
+
+    all_patches = jnp.stack([per_level(gauss_mid[i]) for i in range(s)])  # [S, Q, P, P]
+    onehot = jax.nn.one_hot(lvl - 1, s, dtype=gauss_mid.dtype)  # [Q, S]
+    return jnp.einsum("qs,sqpr->qpr", onehot, all_patches)
+
+
+def _orientation_and_descriptors(patches: jnp.ndarray, valid: jnp.ndarray, sigma_desc: float):
+    """patches [Q, P, P] -> (theta [Q], desc [Q, 128])."""
+    q = patches.shape[0]
+    gx = 0.5 * (jnp.roll(patches, -1, 2) - jnp.roll(patches, 1, 2))
+    gy = 0.5 * (jnp.roll(patches, -1, 1) - jnp.roll(patches, 1, 1))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ori = jnp.arctan2(gy, gx)  # [-pi, pi]
+
+    ori_win, spatial = _static_tables(sigma_desc)
+    wmag = mag * jnp.asarray(ori_win)[None]
+
+    # --- dominant orientation: 36-bin histogram via soft binning einsum ---
+    bins36 = (ori % (2 * jnp.pi)) / (2 * jnp.pi) * 36.0
+    b0 = jnp.floor(bins36).astype(jnp.int32) % 36
+    frac = bins36 - jnp.floor(bins36)
+    oh0 = jax.nn.one_hot(b0, 36, dtype=patches.dtype) * (1 - frac)[..., None]
+    oh1 = jax.nn.one_hot((b0 + 1) % 36, 36, dtype=patches.dtype) * frac[..., None]
+    hist = jnp.einsum("qpr,qprb->qb", wmag, oh0 + oh1)
+    hist = hist + 0.5 * (jnp.roll(hist, 1, 1) + jnp.roll(hist, -1, 1))
     peak = jnp.argmax(hist, axis=1).astype(jnp.float32)
-    return (peak + 0.5) * (2.0 * jnp.pi / 36.0)
+    theta = (peak + 0.5) * (2 * jnp.pi / 36.0)
 
+    # --- descriptor: quantized-rotation spatial weights x continuous ori bins ---
+    rot_bin = jnp.round(theta / (2 * jnp.pi) * N_ROT_BINS).astype(jnp.int32) % N_ROT_BINS
+    rot_oh = jax.nn.one_hot(rot_bin, N_ROT_BINS, dtype=patches.dtype)  # [Q, B]
+    wsel = jnp.einsum("qb,bps->qps", rot_oh, jnp.asarray(spatial))  # [Q, P*P, 16]
 
-def _descriptors(gmag, gori, xy, lvl, theta, sigmas, n_spatial=4, n_ori=8, n_grid=16):
-    """128-d gradient histogram descriptors via soft trilinear binning as one einsum."""
-    h, w = gmag.shape[1], gmag.shape[2]
-    q = xy.shape[0]
+    rel = (ori - theta[:, None, None]) % (2 * jnp.pi) / (2 * jnp.pi) * N_ORI
+    o0 = jnp.floor(rel).astype(jnp.int32) % N_ORI
+    of = rel - jnp.floor(rel)
+    ooh = (
+        jax.nn.one_hot(o0, N_ORI, dtype=patches.dtype) * (1 - of)[..., None]
+        + jax.nn.one_hot((o0 + 1) % N_ORI, N_ORI, dtype=patches.dtype) * of[..., None]
+    )  # [Q, P, P, 8]
+    contrib = (mag[..., None] * ooh).reshape(q, PATCH * PATCH, N_ORI)
+    desc = jnp.einsum("qps,qpo->qso", wsel, contrib).reshape(q, N_SPATIAL * N_SPATIAL * N_ORI)
 
-    # Sample grid in the keypoint's rotated frame: n_grid x n_grid points covering
-    # [-R, R], R = 6 * sigma(level).
-    u = jnp.linspace(-1.0, 1.0, n_grid)
-    gu, gv = jnp.meshgrid(u, u, indexing="xy")
-    gu = gu.reshape(-1)[None]  # [1, S]
-    gv = gv.reshape(-1)[None]
-    radius = 6.0 * sigmas[lvl][:, None]  # [Q, 1]
-    cth = jnp.cos(theta)[:, None]
-    sth = jnp.sin(theta)[:, None]
-    px = gu * radius
-    py = gv * radius
-    sxs = xy[:, 0:1] + cth * px - sth * py  # [Q, S]
-    sys_ = xy[:, 1:2] + sth * px + cth * py
-
-    lv = lvl[:, None]
-    # bilinear sample from the keypoint's level: build flat gather over [L*H*W]
-    x0 = jnp.clip(jnp.floor(sxs), 0, w - 2).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(sys_), 0, h - 2).astype(jnp.int32)
-    fx = jnp.clip(sxs - x0, 0.0, 1.0)
-    fy = jnp.clip(sys_ - y0, 0.0, 1.0)
-
-    def gather(img):
-        p00 = img[lv, y0, x0]
-        p01 = img[lv, y0, x0 + 1]
-        p10 = img[lv, y0 + 1, x0]
-        p11 = img[lv, y0 + 1, x0 + 1]
-        return (
-            p00 * (1 - fx) * (1 - fy)
-            + p01 * fx * (1 - fy)
-            + p10 * (1 - fx) * fy
-            + p11 * fx * fy
-        )
-
-    mag = gather(gmag)  # [Q, S]
-    # orientation is circular — interpolate via sin/cos to avoid wrap artifacts
-    ori_s = gather(jnp.sin(gori))
-    ori_c = gather(jnp.cos(gori))
-    ori = jnp.arctan2(ori_s, ori_c) - theta[:, None]
-
-    # Gaussian weighting over the descriptor window.
-    wgt = mag * jnp.exp(-(gu**2 + gv**2) / (2.0 * 0.5**2))
-
-    # Soft spatial binning: continuous bin coords in [-0.5, n_spatial-0.5].
-    bx = (gu + 1.0) * 0.5 * n_spatial - 0.5  # [1, S]
-    by = (gv + 1.0) * 0.5 * n_spatial - 0.5
-    bx = jnp.broadcast_to(bx, mag.shape)
-    by = jnp.broadcast_to(by, mag.shape)
-
-    def soft_1d(b, n):
-        i0 = jnp.clip(jnp.floor(b), 0, n - 1).astype(jnp.int32)
-        i1 = jnp.clip(i0 + 1, 0, n - 1)
-        f = jnp.clip(b - jnp.floor(b), 0.0, 1.0)
-        w0 = jax.nn.one_hot(i0, n, dtype=jnp.float32) * (1 - f)[..., None]
-        w1 = jax.nn.one_hot(i1, n, dtype=jnp.float32) * f[..., None]
-        return w0 + w1  # [..., n]
-
-    wx = soft_1d(bx, n_spatial)  # [Q, S, 4]
-    wy = soft_1d(by, n_spatial)
-    wspace = (wy[..., :, None] * wx[..., None, :]).reshape(q, -1, n_spatial * n_spatial)
-
-    bo = (ori % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * n_ori  # [Q, S] in [0, 8)
-    o0 = jnp.floor(bo).astype(jnp.int32) % n_ori
-    o1 = (o0 + 1) % n_ori
-    fo = bo - jnp.floor(bo)
-    wori = (
-        jax.nn.one_hot(o0, n_ori, dtype=jnp.float32) * (1 - fo)[..., None]
-        + jax.nn.one_hot(o1, n_ori, dtype=jnp.float32) * fo[..., None]
-    )  # [Q, S, 8]
-
-    # [Q, 16, S] @ [Q, S, 8] -> [Q, 16, 8] on the MXU.
-    desc = jnp.einsum("qsb,qso->qbo", wspace * wgt[..., None], wori)
-    desc = desc.reshape(q, n_spatial * n_spatial * n_ori)
-
-    # SIFT normalization: unit norm, clip 0.2, renormalize.
     norm = jnp.sqrt(jnp.sum(desc**2, axis=-1, keepdims=True)) + 1e-7
     desc = jnp.minimum(desc / norm, 0.2)
     norm = jnp.sqrt(jnp.sum(desc**2, axis=-1, keepdims=True)) + 1e-7
-    return desc / norm
+    desc = desc / norm
+    return theta, desc * valid[:, None]
 
 
 def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -227,8 +201,6 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
     quotas = _octave_quotas(k, octaves)
 
     img = gray / 255.0
-    h0, w0 = img.shape
-    # Per-level absolute sigmas within an octave.
     kfac = 2.0 ** (1.0 / s)
     sigmas = np.array([sigma0 * kfac**l for l in range(s + 3)], dtype=np.float32)
     inc = np.sqrt(np.maximum(sigmas[1:] ** 2 - sigmas[:-1] ** 2, 1e-6))
@@ -236,7 +208,6 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
     xs_all, desc_all, valid_all = [], [], []
     base = gaussian_blur(img, float(np.sqrt(max(sigma0**2 - 0.25, 0.01))))
     for o in range(octaves):
-        h, w = base.shape
         levels = [base]
         for l in range(s + 2):
             levels.append(gaussian_blur(levels[-1], float(inc[l])))
@@ -244,17 +215,11 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
         dogs = gauss[1:] - gauss[:-1]  # [s+2, H, W]
 
         xy, lvl, _, valid = _detect_octave(
-            gauss, dogs, quotas[o], cfg.sift_contrast_threshold, 10.0, cfg.border_margin
+            dogs, quotas[o], cfg.sift_contrast_threshold, 10.0, cfg.border_margin
         )
-
-        gx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
-        gy = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
-        gmag = jnp.sqrt(gx * gx + gy * gy)
-        gori = jnp.arctan2(gy, gx) % (2.0 * jnp.pi)
-
-        sig = jnp.asarray(sigmas)
-        theta = _orientation(gmag, gori, xy, lvl, sig, radius=int(math.ceil(4.5 * sigmas[s])))
-        desc = _descriptors(gmag, gori, xy, lvl, theta, sig)
+        patches = _extract_level_patches(gauss[1 : s + 1], xy, lvl)
+        # descriptor support radius ~ 6 * sigma of the mid level
+        theta, desc = _orientation_and_descriptors(patches, valid, sigma_desc=6.0 * float(sigmas[s // 2 + 1]))
 
         scale = float(2**o)
         xs_all.append(xy * scale)
@@ -268,5 +233,4 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
     desc = jnp.concatenate(desc_all, axis=0)
     valid = jnp.concatenate(valid_all, axis=0)
     xy = jnp.where(valid[:, None], xy, 0.0)
-    desc = jnp.where(valid[:, None], desc, 0.0)
     return xy, desc, valid
