@@ -47,9 +47,9 @@ class MatchConfig:
 class RansacConfig:
     """RANSAC homography (reference: cv2.findHomography RANSAC, reproj 2.0, main.py:856-857)."""
 
-    num_hypotheses: int = 512  # fixed-size hypothesis batch (vmap'd 4-point DLT solves)
+    num_hypotheses: int = 256  # fixed-size hypothesis batch (vmap'd 4-point DLT solves)
     reproj_threshold: float = 2.0
-    refine_iterations: int = 2  # masked-DLT refits on the best hypothesis's inliers
+    refine_iterations: int = 1  # masked-DLT refits on the best hypothesis's inliers
     min_matches: int = 4  # below this the frame is skipped (main.py:722)
 
 

@@ -54,15 +54,14 @@ def fast_score_map(gray: jnp.ndarray, threshold: float = 20.0, arc: int = 9) -> 
     dark = shifted < center - threshold
 
     def has_arc(mask):
-        # mask [16, H, W] -> any run of `arc` consecutive (circularly) True values.
-        m = jnp.concatenate([mask, mask[: arc - 1]], axis=0)
-        out = jnp.zeros(gray.shape, dtype=bool)
-        for k in range(16):
-            run = m[k]
-            for j in range(1, arc):
-                run = run & m[k + j]
-            out = out | run
-        return out
+        # mask [16, H, W] -> any circular run of `arc` consecutive True values.
+        # Via cumulative sums: run of length `arc` starting at k iff
+        # csum[k+arc] - csum[k] == arc (25 adds + 16 compares vs 144 ANDs).
+        m = jnp.concatenate([mask, mask[: arc - 1]], axis=0).astype(jnp.float32)
+        csum = jnp.cumsum(m, axis=0)
+        csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+        runs = csum[arc:] - csum[:-arc]  # [16, H, W]
+        return jnp.max(runs, axis=0) >= arc - 0.5
 
     corner = has_arc(bright) | has_arc(dark)
     sb = jnp.sum(jnp.maximum(shifted - center - threshold, 0.0), axis=0)
@@ -81,8 +80,15 @@ def detect_fast(
     """FAST corners -> 3x3 NMS -> top-K. Returns a fixed-size Keypoints set."""
     h, w = gray.shape
     score = fast_score_map(gray, threshold, arc)
-    # 3x3 non-max suppression.
-    score = jnp.where(score >= maxpool3x3(score), score, 0.0)
+    # 3x3 non-max suppression via 8 shifted compares (cheaper lowering than
+    # reduce_window on this backend).
+    keep = jnp.ones_like(score, dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            keep &= score >= jnp.roll(jnp.roll(score, dy, 0), dx, 1)
+    score = jnp.where(keep, score, 0.0)
     # Zero out the border so descriptor patches stay in-bounds.
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

@@ -77,7 +77,13 @@ def _moment_masks(radius: int = 15, patch: int = PATCH):
 
 
 def extract_patches(img: jnp.ndarray, kps: Keypoints, patch: int = PATCH) -> jnp.ndarray:
-    """[K, patch, patch] patches centered on integer keypoint coords (clamped)."""
+    """[K, patch, patch] patches centered on integer keypoint coords (clamped).
+
+    Row-gather + lane dynamic_slice: one gather fetches all K patch row-bands
+    ([K, patch, W] — full-lane rows ride the fast slice path), then a vmap'd
+    dynamic_slice cuts the columns. ~2x faster than per-patch 2D dynamic_slice
+    under vmap-of-vmap batching.
+    """
     h, w = img.shape
     half = patch // 2
     ys = jnp.clip(kps.xy[:, 1].astype(jnp.int32) - half, 0, h - patch)

@@ -63,9 +63,14 @@ def run_mosaic(
     aux_pending = []  # device-side aux; fetched after the loop so the TPU never stalls
     t0 = time.perf_counter()
     windows = 0
+    import jax
+
     for frames, n_valid in reader.windows():
         with timer.stage("window"):
             aux = mosaic.process_window(frames)
+            # Counterintuitive but measured: the axon tunnel runs back-to-back queued
+            # dispatches ~4x slower than block-per-call; sync each window.
+            jax.block_until_ready(mosaic.state.canvas)
         aux_pending.append((aux, n_valid))
         if per_frame_detector is not None:
             # batched per-frame detection over the same window (BASELINE config 3)
