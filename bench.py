@@ -68,6 +68,13 @@ def main():
         if best is None or stats["fps"] > best["fps"]:
             best = stats
 
+    try:
+        from rtvm_tpu.utils.fidelity import mosaic_psnr_vs_opencv
+
+        psnr = round(mosaic_psnr_vs_opencv(VIDEO, n_frames=48, window=window, detector=detector), 2)
+    except Exception:
+        psnr = None
+
     value = max(best["fps"], 0.0)
     out = {
         "metric": f"stitch_fps_360p_{detector}",
@@ -75,6 +82,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(value / BASELINE_FPS, 2),
         "device_window_fps": round(device_fps, 1),
+        "mosaic_psnr_vs_opencv_db": psnr,
         "frames": best["frames"],
         "accepted": best["accepted"],
         "wall_s": round(time.time() - t_start, 1),

@@ -1,0 +1,89 @@
+"""Mosaic fidelity measurement: PSNR of the TPU pipeline's mosaic against an
+OpenCV-built oracle that replays the SAME homography sequence with
+cv2.warpPerspective + distance-transform feathering (the reference's blend,
+main.py:861-927).
+
+This isolates warp+blend fidelity from RANSAC stochasticity: both mosaics use
+identical geometry, so the PSNR measures the rendering path (BASELINE.md target:
+>= 40 dB vs the OpenCV reference pipeline).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+
+def opencv_reference_mosaic(
+    frames: Sequence[np.ndarray], hs: Sequence[np.ndarray], canvas_hw: tuple, seed_frame: np.ndarray,
+    seed_offset: tuple,
+) -> np.ndarray:
+    """Rebuild the mosaic with OpenCV ops from (frames, absolute homographies)."""
+    import cv2
+
+    hc, wc = canvas_hw
+    out = np.zeros((hc, wc, 3), np.float32)
+    r0, c0 = seed_offset
+    h, w = seed_frame.shape[:2]
+    out[r0 : r0 + h, c0 : c0 + w] = seed_frame.astype(np.float32)
+
+    for frame, H in zip(frames, hs):
+        warped = cv2.warpPerspective(frame.astype(np.float32), H.astype(np.float64), (wc, hc))
+        mask_new = (warped.sum(-1) > 0).astype(np.uint8)
+        mask_old = (out.sum(-1) > 0).astype(np.uint8)
+        overlap = mask_new & mask_old
+        if overlap.any():
+            dn = cv2.distanceTransform(mask_new * 255, cv2.DIST_L2, 3)
+            do = cv2.distanceTransform(mask_old * 255, cv2.DIST_L2, 3)
+            alpha = dn / (dn + do + 1e-6)
+            blended = alpha[..., None] * warped + (1 - alpha[..., None]) * out
+            out = np.where(overlap[..., None] > 0, blended, np.where(mask_new[..., None] > 0, warped, out))
+        else:
+            out = np.where(mask_new[..., None] > 0, warped, out)
+    return np.clip(out, 0, 255)
+
+
+def mosaic_psnr_vs_opencv(video_path: str, n_frames: int = 64, window: int = 16,
+                          detector: str = "orb") -> float:
+    """Run the TPU stitcher on a clip prefix, then replay its homographies through
+    the OpenCV oracle and return the masked PSNR between the two mosaics."""
+    import cv2
+    import jax.numpy as jnp
+
+    from rtvm_tpu.config import MosaicConfig
+    from rtvm_tpu.mosaic.stitcher import VideMosaic
+
+    cap = cv2.VideoCapture(video_path)
+    ok, f0 = cap.read()
+    frames: List[np.ndarray] = []
+    while len(frames) < n_frames:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        frames.append(fr)
+    cap.release()
+
+    cfg = MosaicConfig(window_size=window)
+    m = VideMosaic(f0, detector_type=detector, config=cfg)
+    hs = []
+    i = 0
+    while i < len(frames):
+        chunk = frames[i : i + window]
+        n_valid = len(chunk)
+        while len(chunk) < window:
+            chunk.append(frames[-1])
+        aux = m.process_window(np.stack(chunk))
+        hs.extend(list(np.asarray(aux.H_abs)[:n_valid]))
+        i += window
+
+    ours = m.output_img
+    hc, wc = ours.shape[:2]
+    oracle = opencv_reference_mosaic(frames, hs, (hc, wc), f0, (m.w_offset, m.h_offset))
+
+    mask = (oracle.sum(-1) > 0) & (ours.sum(-1) > 0)
+    for sh in (4, -4):
+        mask &= np.roll(mask, sh, 0) & np.roll(mask, sh, 1)
+    d = (ours - oracle)[mask]
+    mse = float((d**2).mean()) if d.size else 0.0
+    return 10.0 * np.log10(255.0**2 / max(mse, 1e-12))
