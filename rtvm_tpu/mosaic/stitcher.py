@@ -45,7 +45,9 @@ class MosaicState(NamedTuple):
     output_img) tuple, SURVEY.md section 5 'checkpoint/resume')."""
 
     canvas: jnp.ndarray  # [3, Hc, Wc] float32 (channel-major: lane dim = Wc, TPU-aligned)
-    canvas_weight: jnp.ndarray  # [Hc, Wc] float32
+    union_coarse: jnp.ndarray  # [Hc/8, Wc/8] bool — mosaic coverage at 8px cells;
+    # its chamfer distance reproduces the reference's per-frame distanceTransform
+    # of the growing mosaic mask (main.py:888-890) at 1/64 of the cost
     H_old: jnp.ndarray  # [3, 3] float32 frame -> canvas
     kp: jnp.ndarray  # [K, 2] float32 previous-frame keypoints
     desc: jnp.ndarray  # [K, W] packed uint32 (orb) / [K, 128] float32 (sift)
@@ -172,8 +174,10 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
         )
 
         # --- 3. sequential scan: validate -> smooth -> compose -> warp+blend ---
+        hc, wc = state.canvas.shape[1], state.canvas.shape[2]
+
         def body(carry, xs):
-            canvas, canvas_w, H_old, hbuf, hcount = carry
+            canvas, union, H_old, hbuf, hcount = carry
             frame_cm, H_rel, ok_r = xs
             ok = ok_r & geo.validate_homography(
                 H_rel, st.translation_threshold, st.scale_threshold, st.perspective_threshold
@@ -184,17 +188,24 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
             else:
                 H_s = H_v
             H_abs = H_old @ H_s
-            canvas, canvas_w = warp_ops.warp_blend_fast(canvas, canvas_w, frame_cm, fweight, H_abs)
-            return (canvas, canvas_w, H_abs, hbuf, hcount), (H_abs, ok)
+            new_px, w_new = warp_ops.warp_frame_cm(frame_cm, fweight, H_abs, hc, wc)
+            # reference blend semantics: weights = distance transforms of the new
+            # frame mask and the current mosaic mask (main.py:884-905)
+            w_old = warp_ops.upsample_weight(
+                warp_ops.coarse_union_distance(union), hc, wc
+            )
+            canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
+            union = union | warp_ops.coarse_footprint(w_new)
+            return (canvas, union, H_abs, hbuf, hcount), (H_abs, ok)
 
-        carry0 = (state.canvas, state.canvas_weight, state.H_old, state.hbuf, state.hcount)
-        (canvas, canvas_w, H_old, hbuf, hcount), (H_abs_seq, ok_seq) = jax.lax.scan(
+        carry0 = (state.canvas, state.union_coarse, state.H_old, state.hbuf, state.hcount)
+        (canvas, union, H_old, hbuf, hcount), (H_abs_seq, ok_seq) = jax.lax.scan(
             body, carry0, (frames_cm, H_rels, r_ok)
         )
 
         new_state = MosaicState(
             canvas=canvas,
-            canvas_weight=canvas_w,
+            union_coarse=union,
             H_old=H_old,
             kp=kps[-1],
             desc=descs[-1],
@@ -260,9 +271,9 @@ class VideMosaic:
         self._key = jax.random.PRNGKey(seed)
         # Device-resident invariants, passed as jit ARGS each step (see make_window_step
         # performance note — they must not become executable constants).
-        self._fweight = jax.device_put(
-            warp_ops.edge_distance_map(h, w, config.blend.feather_radius)
-        )
+        # Raw pixel distances to the frame edge == distanceTransform of the new
+        # frame's mask (reference main.py:888), matching the union-distance units.
+        self._fweight = jax.device_put(warp_ops.edge_distance_px(h, w))
         self._wtable = jax.device_put(
             np.asarray(geo.smoothing_weights(config.stabilization.history_size))
         )
@@ -282,10 +293,11 @@ class VideMosaic:
         canvas = canvas.at[
             :, self.w_offset : self.w_offset + h, self.h_offset : self.h_offset + w
         ].set(jnp.moveaxis(jnp.asarray(first_image, jnp.float32), -1, 0))
-        canvas_w = jnp.zeros((hc, wc), jnp.float32)
-        canvas_w = canvas_w.at[
+        seed_w = jnp.zeros((hc, wc), jnp.float32)
+        seed_w = seed_w.at[
             self.w_offset : self.w_offset + h, self.h_offset : self.h_offset + w
         ].set(self._fweight)
+        union = warp_ops.coarse_footprint(seed_w)
 
         H_old = jnp.asarray(
             np.array(
@@ -296,7 +308,7 @@ class VideMosaic:
         s = cfg.stabilization.history_size
         return MosaicState(
             canvas=canvas,
-            canvas_weight=canvas_w,
+            union_coarse=union,
             H_old=H_old,
             kp=kp,
             desc=desc,

@@ -36,6 +36,49 @@ def edge_distance_map(h: int, w: int, feather_radius: float = 32.0) -> np.ndarra
     return np.minimum(d / feather_radius, 1.0).astype(np.float32)
 
 
+def edge_distance_px(h: int, w: int) -> np.ndarray:
+    """[H, W] float32 raw distance (px) to the frame border — the exact
+    distanceTransform(full-frame mask) the reference computes for the new frame."""
+    ys = np.arange(h, dtype=np.float32)
+    xs = np.arange(w, dtype=np.float32)
+    dy = np.minimum(ys + 1.0, h - ys)[:, None]
+    dx = np.minimum(xs + 1.0, w - xs)[None, :]
+    return np.minimum(dy, dx).astype(np.float32)
+
+
+def _shift2d(d: jnp.ndarray, dy: int, dx: int, fill: float) -> jnp.ndarray:
+    """Non-wrapping 2D shift (pad + slice; static offsets)."""
+    h, w = d.shape
+    py = (max(dy, 0), max(-dy, 0))
+    px = (max(dx, 0), max(-dx, 0))
+    p = jnp.pad(d, (py, px), constant_values=fill)
+    return p[py[1] : py[1] + h, px[1] : px[1] + w]
+
+
+def coarse_union_distance(union: jnp.ndarray, cell_px: float = 8.0) -> jnp.ndarray:
+    """Distance (in pixels) from each cell of a coarse union-occupancy grid to the
+    nearest non-union cell — the TPU stand-in for cv2.distanceTransform of the
+    growing mosaic mask (reference main.py:888-890).
+
+    Octagonal min-plus relaxation with power-of-two shifts in 8 directions: exact for
+    L1/Linf, <=8% over Euclidean — well within feathering tolerance. All elementwise,
+    ~60 shifted mins on the [Hc/8, Wc/8] grid.
+    """
+    gh, gw = union.shape
+    big = jnp.float32(4.0 * max(gh, gw))
+    d = jnp.where(union, big, 0.0)
+    kmax = 1
+    while kmax * 2 < max(gh, gw):
+        kmax *= 2
+    k = kmax
+    while k >= 1:
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            step = k * (1.41421356 if (dy and dx) else 1.0)
+            d = jnp.minimum(d, _shift2d(d, dy * k, dx * k, 0.0) + step)
+        k //= 2
+    return d * cell_px
+
+
 class BlendedCanvas(NamedTuple):
     canvas: jnp.ndarray  # [Hc, Wc, 3] float32
     weight: jnp.ndarray  # [Hc, Wc] float32 — feather weight at last write (0 = empty)
@@ -242,6 +285,38 @@ def _warp_gather_cm(stack: jnp.ndarray, H: jnp.ndarray, out_h: int, out_w: int) 
     return jnp.where(inb[None], out, 0.0)
 
 
+def warp_frame_cm(
+    frame: jnp.ndarray, frame_weight: jnp.ndarray, H: jnp.ndarray, hc: int, wc: int
+):
+    """Warp a channel-major frame [3, Hf, Wf] + weight [Hf, Wf] onto the canvas grid.
+    Returns (new_px [3, Hc, Wc], w_new [Hc, Wc]); two-pass MXU warp when H is
+    in-regime, gather fallback otherwise (lax.cond runs one branch)."""
+    stack = jnp.concatenate([frame, frame_weight[None]], axis=0)  # [4, Hf, Wf]
+    ok = two_pass_regime_ok(H, hc, wc)
+    warped = jax.lax.cond(
+        ok,
+        lambda _: warp_two_pass(stack, H, hc, wc),
+        lambda _: _warp_gather_cm(stack, H, hc, wc),
+        operand=None,
+    )
+    return warped[:3], jnp.maximum(warped[3], 0.0)
+
+
+def coarse_footprint(w_new: jnp.ndarray, cell: int = 8) -> jnp.ndarray:
+    """Downsample a full-res weight map to a coarse bool occupancy grid (any-pool)."""
+    h, w = w_new.shape
+    gh, gw = -(-h // cell), -(-w // cell)
+    p = jnp.pad(w_new, ((0, gh * cell - h), (0, gw * cell - w)))
+    return p.reshape(gh, cell, gw, cell).max(axis=(1, 3)) > 0.0
+
+
+def upsample_weight(coarse_px: jnp.ndarray, hc: int, wc: int, cell: int = 8) -> jnp.ndarray:
+    """Bilinear-upsample a coarse distance map back to canvas resolution."""
+    gh, gw = coarse_px.shape
+    up = jax.image.resize(coarse_px, (gh * cell, gw * cell), method="bilinear")
+    return up[:hc, :wc]
+
+
 def warp_blend_fast(
     canvas: jnp.ndarray,
     canvas_weight: jnp.ndarray,
@@ -249,22 +324,12 @@ def warp_blend_fast(
     frame_weight: jnp.ndarray,
     H: jnp.ndarray,
 ) -> BlendedCanvas:
-    """Fused warp+blend (channel-major: canvas [3, Hc, Wc], frame [3, Hf, Wf])
-    using the two-pass MXU warp when H is in-regime, falling back to the gather
-    warp otherwise (lax.cond executes a single branch)."""
+    """Fused warp+blend (channel-major: canvas [3, Hc, Wc], frame [3, Hf, Wf]):
+    standalone API keeping the running-max weight semantics (the stitcher composes
+    warp_frame_cm with the union-distance weighting instead)."""
     hc, wc = canvas.shape[1], canvas.shape[2]
-    stack = jnp.concatenate([frame, frame_weight[None]], axis=0)  # [4, Hf, Wf]
-    ok = two_pass_regime_ok(H, hc, wc)
-
-    def do_fast(_):
-        warped = warp_two_pass(stack, H, hc, wc)
-        return _blend_cm(canvas, canvas_weight, warped[:3], jnp.maximum(warped[3], 0.0))
-
-    def do_slow(_):
-        warped = _warp_gather_cm(stack, H, hc, wc)
-        return _blend_cm(canvas, canvas_weight, warped[:3], jnp.maximum(warped[3], 0.0))
-
-    return jax.lax.cond(ok, do_fast, do_slow, operand=None)
+    new_px, w_new = warp_frame_cm(frame, frame_weight, H, hc, wc)
+    return _blend_cm(canvas, canvas_weight, new_px, w_new)
 
 
 def warp_blend(

@@ -94,12 +94,12 @@ def dryrun_multichip(n_devices: int) -> None:
 
     repl = NamedSharding(mesh, P())
     canvas_sh = NamedSharding(mesh, P(None, "tp", None))  # [3, Hc, Wc] rows sharded
-    weight_sh = NamedSharding(mesh, P("tp", None))
+    union_sh = NamedSharding(mesh, P("tp", None))
     frames_sh = NamedSharding(mesh, P("dp", None, None, None))
 
     state_shardings = S.MosaicState(
         canvas=canvas_sh,
-        canvas_weight=weight_sh,
+        union_coarse=union_sh,
         H_old=repl,
         kp=repl,
         desc=repl,

