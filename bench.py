@@ -37,7 +37,7 @@ def main():
 
     detector = os.environ.get("BENCH_DETECTOR", "orb")
     window = int(os.environ.get("BENCH_WINDOW", "16"))
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
     cfg = MosaicConfig(window_size=window)
 
     # Warm-up pass on a short prefix so compile time is excluded from the measurement.
@@ -71,7 +71,7 @@ def main():
     try:
         from rtvm_tpu.utils.fidelity import mosaic_psnr_vs_opencv
 
-        psnr = round(mosaic_psnr_vs_opencv(VIDEO, n_frames=48, window=window, detector=detector), 2)
+        psnr = round(mosaic_psnr_vs_opencv(VIDEO, n_frames=32, window=window, detector=detector), 2)
     except Exception:
         psnr = None
 

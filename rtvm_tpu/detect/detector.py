@@ -83,12 +83,19 @@ class ObjectDetector:
     def _infer_fn(self, imgsz: int, conf: float, iou: float):
         key = (imgsz, conf, iou)
         if key not in self._infer_cache:
-            model, variables = self.model, self.variables
+            model = self.model
+            # bf16 inference: convs/matmuls ride the MXU at 2x; logits decode in f32
+            variables = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16) if hasattr(v, "astype") else v,
+                self.variables,
+            )
 
             @jax.jit
             def run(frames_u8):
                 x, scale, py, px = pp.preprocess_frames(frames_u8, imgsz)
-                box_l, cls_l = model.apply(variables, x, train=False)
+                box_l, cls_l = model.apply(variables, x.astype(jnp.bfloat16), train=False)
+                box_l = [b.astype(jnp.float32) for b in box_l]
+                cls_l = [c.astype(jnp.float32) for c in cls_l]
                 boxes, scores = pp.decode_predictions(box_l, cls_l, model.cfg.strides, model.cfg.reg_max)
 
                 def one(bx, sc):
