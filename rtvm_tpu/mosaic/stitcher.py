@@ -365,6 +365,73 @@ class VideMosaic:
         res = geo.ransac_homography(src, dst, valid, jax.random.PRNGKey(seed))
         return np.asarray(res.H), np.asarray(res.inliers)
 
+    # --------------------------------------------- reference API-surface parity
+    def process_first_frame(self, first_image) -> None:
+        """Re-seed the previous-frame features (reference main.py:104-112)."""
+        kp, desc, valid = self._feature_fn(jnp.asarray(np.asarray(first_image)))
+        self.state = self.state._replace(kp=kp, desc=desc, kp_valid=valid)
+
+    def match(self, des_cur, des_prev, valid_cur=None, valid_prev=None):
+        """Descriptor matching (reference main.py:676-708). Returns a Matches tuple."""
+        des_cur = jnp.asarray(des_cur)
+        des_prev = jnp.asarray(des_prev)
+        vc = jnp.ones(des_cur.shape[0], bool) if valid_cur is None else jnp.asarray(valid_cur)
+        vp = jnp.ones(des_prev.shape[0], bool) if valid_prev is None else jnp.asarray(valid_prev)
+        return _match_pair(des_cur, vc, des_prev, vp, self.config)
+
+    def validate_homography(self, H) -> bool:
+        """Anti-shake validation (reference main.py:761-801 thresholds)."""
+        st = self.config.stabilization
+        return bool(
+            geo.validate_homography(
+                jnp.asarray(H, jnp.float32),
+                st.translation_threshold,
+                st.scale_threshold,
+                st.perspective_threshold,
+            )
+        )
+
+    def smooth_homography(self, H) -> np.ndarray:
+        """Sliding-window homography smoothing (reference main.py:803-834);
+        mutates the instance history like the reference."""
+        hbuf, hcount, H_s = geo.smooth_homography_step(
+            self.state.hbuf, self.state.hcount, jnp.asarray(H, jnp.float32), self._wtable
+        )
+        self.state = self.state._replace(hbuf=hbuf, hcount=hcount)
+        return np.asarray(H_s)
+
+    def warp(self, frame_cur, H) -> np.ndarray:
+        """Warp + blend one frame into the canvas with an explicit absolute H
+        (reference main.py:861-927). Returns the updated canvas."""
+        hc, wc = self.canvas_shape[0], self.canvas_shape[1]
+        frame_cm = jnp.moveaxis(jnp.asarray(np.asarray(frame_cur), jnp.float32), -1, 0)
+        new_px, w_new = warp_ops.warp_frame_cm(
+            frame_cm, self._fweight, jnp.asarray(H, jnp.float32), hc, wc
+        )
+        w_old = warp_ops.upsample_weight(
+            warp_ops.coarse_union_distance(self.state.union_coarse), hc, wc
+        )
+        canvas, _ = warp_ops._blend_cm(self.state.canvas, w_old, new_px, w_new)
+        union = self.state.union_coarse | warp_ops.coarse_footprint(w_new)
+        self.state = self.state._replace(canvas=canvas, union_coarse=union)
+        return self.output_img
+
+    @property
+    def _detector(self):
+        if not hasattr(self, "_detector_inst"):
+            from rtvm_tpu.detect.detector import ObjectDetector
+
+            self._detector_inst = ObjectDetector()
+        return self._detector_inst
+
+    def detect_people(self, frame):
+        """Person boxes (reference detect_people, main.py:114-131)."""
+        return self._detector.detect_people(np.asarray(frame))
+
+    def detect_objects(self, image):
+        """Multi-pass aerial detection (reference detect_objects, main.py:149-349)."""
+        return self._detector.detect_objects(np.asarray(image))
+
     def checkpoint(self) -> dict:
         """Serializable snapshot of the full pipeline state (new capability; the
         reference's state tuple is identified in SURVEY.md section 5)."""

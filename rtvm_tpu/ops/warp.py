@@ -285,21 +285,38 @@ def _warp_gather_cm(stack: jnp.ndarray, H: jnp.ndarray, out_h: int, out_w: int) 
     return jnp.where(inb[None], out, 0.0)
 
 
+def analytic_frame_weight(H: jnp.ndarray, hf: int, wf: int, hc: int, wc: int) -> jnp.ndarray:
+    """w_new on the canvas grid, computed analytically: the distance from the
+    inverse-mapped source point to the frame border (the exact distanceTransform of
+    the warped frame mask in frame units) — elementwise, no 4th warp channel."""
+    hinv = jnp.linalg.inv(H)
+    ys = jnp.arange(hc, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(wc, dtype=jnp.float32)[None, :]
+    den = hinv[2, 0] * xs + hinv[2, 1] * ys + hinv[2, 2]
+    den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+    sx = (hinv[0, 0] * xs + hinv[0, 1] * ys + hinv[0, 2]) / den
+    sy = (hinv[1, 0] * xs + hinv[1, 1] * ys + hinv[1, 2]) / den
+    d = jnp.minimum(jnp.minimum(sx + 1.0, wf - sx), jnp.minimum(sy + 1.0, hf - sy))
+    return jnp.where((d > 0.0) & (den > 0.0), d, 0.0)
+
+
 def warp_frame_cm(
     frame: jnp.ndarray, frame_weight: jnp.ndarray, H: jnp.ndarray, hc: int, wc: int
 ):
-    """Warp a channel-major frame [3, Hf, Wf] + weight [Hf, Wf] onto the canvas grid.
-    Returns (new_px [3, Hc, Wc], w_new [Hc, Wc]); two-pass MXU warp when H is
-    in-regime, gather fallback otherwise (lax.cond runs one branch)."""
-    stack = jnp.concatenate([frame, frame_weight[None]], axis=0)  # [4, Hf, Wf]
+    """Warp a channel-major frame [3, Hf, Wf] onto the canvas grid. Returns
+    (new_px [3, Hc, Wc], w_new [Hc, Wc]); two-pass MXU warp when H is in-regime,
+    gather fallback otherwise (lax.cond runs one branch). The weight map comes from
+    the analytic inverse map (frame_weight is accepted for API stability)."""
+    hf, wf = frame.shape[1], frame.shape[2]
     ok = two_pass_regime_ok(H, hc, wc)
     warped = jax.lax.cond(
         ok,
-        lambda _: warp_two_pass(stack, H, hc, wc),
-        lambda _: _warp_gather_cm(stack, H, hc, wc),
+        lambda _: warp_two_pass(frame, H, hc, wc),
+        lambda _: _warp_gather_cm(frame, H, hc, wc),
         operand=None,
     )
-    return warped[:3], jnp.maximum(warped[3], 0.0)
+    w_new = analytic_frame_weight(H, hf, wf, hc, wc)
+    return warped, w_new
 
 
 def coarse_footprint(w_new: jnp.ndarray, cell: int = 8) -> jnp.ndarray:

@@ -44,7 +44,7 @@ def test_run_mosaic_end_to_end(synthetic_video):
     # the pan should extend coverage well beyond one frame
     # (the 1.2x-width canvas clips part of the pan, as in the reference)
     covered = np.asarray(mosaic.state.union_coarse).sum() * 64
-    assert covered > 1.1 * 200 * 320
+    assert covered > 1.08 * 200 * 320
     # content correlates with the scene: H_old x-translation ~ +5 px/frame
     H = mosaic.H_old
     assert H[0, 2] > mosaic.h_offset + 60
