@@ -104,26 +104,31 @@ def describe_orb(
     orientation_radius: int = 15,
 ) -> Descriptors:
     """Compute steered-BRIEF descriptors for a fixed-K keypoint set on one [H, W] image."""
-    smooth = gaussian_blur(gray, blur_sigma)
-    patches = extract_patches(smooth, kps)  # [K, P, P]
+    # uint8 smoothed image (as in OpenCV's ORB): keeps all descriptor intermediates
+    # 4x smaller than f32, which matters at large window batches.
+    smooth = jnp.clip(gaussian_blur(gray, blur_sigma), 0, 255).astype(jnp.uint8)
+    patches = extract_patches(smooth, kps)  # [K, P, P] uint8
     k = patches.shape[0]
 
     mx, my = _moment_masks(orientation_radius)
-    m10 = jnp.einsum("kpq,pq->k", patches, jnp.asarray(mx))
-    m01 = jnp.einsum("kpq,pq->k", patches, jnp.asarray(my))
+    pf = patches.astype(jnp.float32)
+    m10 = jnp.einsum("kpq,pq->k", pf, jnp.asarray(mx))
+    m01 = jnp.einsum("kpq,pq->k", pf, jnp.asarray(my))
     angle = jnp.arctan2(m01, m10)
 
     idx1, idx2 = _rotated_index_tables(n_bits, pattern_radius)
     flat = patches.reshape(k, PATCH * PATCH)
-    # static-index sampling for ALL bins at once: [K, bins, n_bits]
+    # static-index sampling for ALL bins at once (uint8): [K, bins, n_bits]
     v1 = flat[:, jnp.asarray(idx1)]
     v2 = flat[:, jnp.asarray(idx2)]
-    bits_all = (v1 < v2).astype(jnp.float32)
+    bits_all = (v1 < v2)  # bool [K, bins, n_bits]
 
     bin_f = (angle % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * N_ANGLE_BINS
     bin_i = jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS
-    onehot = jax.nn.one_hot(bin_i, N_ANGLE_BINS, dtype=jnp.float32)  # [K, bins]
-    bits = jnp.einsum("kb,kbn->kn", onehot, bits_all) > 0.5  # [K, n_bits]
+    # per-keypoint bin row via sliced-DMA (no one-hot einsum, no f32 materialization)
+    bits = jax.vmap(
+        lambda ba, b: jax.lax.dynamic_slice(ba, (b, 0), (1, ba.shape[1]))[0]
+    )(bits_all, bin_i)
 
     words = n_bits // 32
     shifts = jnp.arange(32, dtype=jnp.uint32)
