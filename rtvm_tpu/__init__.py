@@ -14,4 +14,12 @@ fixed shapes, batched windows, and `lax.scan` for the sequential stitch chain.
 
 __version__ = "0.1.0"
 
+from rtvm_tpu.config import MosaicConfig, PipelineConfig  # noqa: F401
 from rtvm_tpu.mosaic.stitcher import VideMosaic  # noqa: F401
+
+
+def main(*args, **kwargs):
+    """Reference-parity pipeline entry (see rtvm_tpu.pipelines.mosaic_pipeline.main)."""
+    from rtvm_tpu.pipelines.mosaic_pipeline import main as _main
+
+    return _main(*args, **kwargs)
