@@ -138,3 +138,37 @@ def test_warp_blend_psnr_vs_reference_blend_pipeline(textured_image):
     p = 10 * np.log10(255.0**2 / max(float((d**2).mean()), 1e-12))
     # feathering profiles differ slightly by design; demand good but not exact match
     assert p > 28.0, p
+
+
+def test_coarse_union_distance_approximates_edt(rng):
+    """Octagonal log-shift chamfer vs scipy's exact Euclidean distance transform."""
+    from scipy import ndimage
+
+    import jax.numpy as jnp
+
+    from rtvm_tpu.ops.warp import coarse_union_distance
+
+    mask = np.zeros((60, 72), bool)
+    mask[10:40, 12:50] = True
+    mask[30:55, 40:68] = True
+    ours = np.asarray(coarse_union_distance(jnp.asarray(mask), cell_px=1.0))
+    exact = ndimage.distance_transform_edt(mask)
+    assert (ours[~mask] == 0).all()
+    inner = mask & (exact > 1)
+    rel = np.abs(ours[inner] - exact[inner]) / exact[inner]
+    # octagonal approximation stays within ~9% of Euclidean
+    assert rel.max() < 0.12
+    assert rel.mean() < 0.05
+
+
+def test_analytic_frame_weight_matches_distance():
+    import jax.numpy as jnp
+
+    from rtvm_tpu.ops.warp import analytic_frame_weight
+
+    H = jnp.asarray(np.array([[1, 0, 20], [0, 1, 30], [0, 0, 1]], np.float32))
+    w = np.asarray(analytic_frame_weight(H, 40, 60, 128, 128))
+    # inside the translated frame: weight equals distance to the frame border
+    assert abs(w[30 + 20, 20 + 30] - min(21, 40 - 20, 31, 60 - 30)) < 0.6
+    assert w[10, 10] == 0.0  # outside footprint
+    assert w[30, 20] > 0.0  # top-left corner inside
