@@ -5,16 +5,45 @@ yolov8x-worldv2.pt — reference main.py:44,51) were stripped from the mirror
 (.MISSING_LARGE_BLOBS), so conversion is exercised only when a user supplies a
 checkpoint. Torch (CPU wheel) is used purely as a weight reader.
 
-Layout mapping: torch convs are OIHW, Flax convs are HWIO; BatchNorm running stats map
-to batch_stats. Module ordering in the ultralytics graph corresponds 1:1 to the
-declaration order in model.py (backbone 0-9, neck 10-21, head 22).
+Mapping is done by NAME, not position: an explicit table translates each
+ultralytics state-dict key (``model.<idx>.<submodule>.<tensor>``) to the flax
+variable path in our model.py graph. Positional pairing is unusable here — flax
+flattens paths alphabetically (Conv_10 < Conv_2) and interleaves batch_stats
+separately from params, while torch interleaves conv/bn tensors per module; and
+BN gamma/beta share a shape, so any shape-based pairing can silently swap them.
+
+Layout conversion: torch convs are OIHW, flax convs are HWIO; BN running stats go
+to the ``batch_stats`` collection, gamma/beta to ``params`` (scale/bias).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
+
+# ultralytics DetectionModel layer index -> our flax top-level module name
+# (model.py YOLOv8.__call__ declaration order; indices 10/11/13/14/17/20 are
+# parameter-free Upsample/Concat layers).
+_TOP = {
+    "0": "ConvBnSiLU_0",
+    "1": "ConvBnSiLU_1",
+    "2": "C2f_0",
+    "3": "ConvBnSiLU_2",
+    "4": "C2f_1",
+    "5": "ConvBnSiLU_3",
+    "6": "C2f_2",
+    "7": "ConvBnSiLU_4",
+    "8": "C2f_3",
+    "9": "SPPF_0",
+    "12": "C2f_4",
+    "15": "C2f_5",
+    "16": "ConvBnSiLU_5",
+    "18": "C2f_6",
+    "19": "ConvBnSiLU_6",
+    "21": "C2f_7",
+    "22": "DetectHead_0",
+}
 
 
 def load_ultralytics_state_dict(pt_path: str) -> Dict[str, np.ndarray]:
@@ -32,42 +61,137 @@ def _conv_to_flax(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
-def convert_to_flax(state: Dict[str, np.ndarray], variables: Any) -> Any:
-    """Map an ultralytics state dict onto our Flax variable tree by positional order.
+def _conv_bn_path(rest: Tuple[str, ...], scope: Tuple[str, ...]):
+    """Translate the tail of an ultralytics Conv(conv+bn) module key.
 
-    Conversion walks both parameter lists in declaration order and pairs tensors by
-    shape; a shape mismatch raises, so silent misloads cannot happen.
-    """
+    rest is e.g. ('conv', 'weight') or ('bn', 'running_mean'); scope is the flax
+    path of the enclosing ConvBnSiLU module. Returns (collection, full path,
+    needs_conv_transpose) or None for ignorable tensors."""
+    if rest == ("conv", "weight"):
+        return "params", scope + ("Conv_0", "kernel"), True
+    if rest == ("bn", "weight"):
+        return "params", scope + ("BatchNorm_0", "scale"), False
+    if rest == ("bn", "bias"):
+        return "params", scope + ("BatchNorm_0", "bias"), False
+    if rest == ("bn", "running_mean"):
+        return "batch_stats", scope + ("BatchNorm_0", "mean"), False
+    if rest == ("bn", "running_var"):
+        return "batch_stats", scope + ("BatchNorm_0", "var"), False
+    if rest[-1] == "num_batches_tracked":
+        return None
+    raise KeyError(f"unrecognized Conv-module tensor: {'.'.join(rest)}")
+
+
+def ult_key_to_flax(key: str):
+    """Map one ultralytics state-dict key to (collection, flax path, transpose).
+
+    Returns None for tensors with no flax counterpart (num_batches_tracked, the
+    fixed DFL expectation conv). Raises KeyError for unknown structure (e.g. a
+    yolo11 C3k2 checkpoint fed to the v8 graph)."""
+    parts = key.split(".")
+    if parts[0] == "model":
+        parts = parts[1:]
+    idx, rest = parts[0], tuple(parts[1:])
+    if idx not in _TOP:
+        raise KeyError(f"unmapped ultralytics layer index in key: {key}")
+    top = _TOP[idx]
+
+    if top.startswith("ConvBnSiLU"):
+        return _conv_bn_path(rest, (top,))
+
+    if top.startswith("C2f"):
+        # ultralytics C2f declares cv1, cv2, m.[i] (state-dict order); our C2f
+        # declares cv1 -> ConvBnSiLU_0, bottlenecks -> Bottleneck_i, cv2 ->
+        # ConvBnSiLU_1 (modules.py C2f).
+        if rest[0] == "cv1":
+            return _conv_bn_path(rest[1:], (top, "ConvBnSiLU_0"))
+        if rest[0] == "cv2":
+            return _conv_bn_path(rest[1:], (top, "ConvBnSiLU_1"))
+        if rest[0] == "m":
+            i = rest[1]
+            sub = {"cv1": "ConvBnSiLU_0", "cv2": "ConvBnSiLU_1"}[rest[2]]
+            return _conv_bn_path(rest[3:], (top, f"Bottleneck_{i}", sub))
+        raise KeyError(f"unrecognized C2f tensor: {key}")
+
+    if top.startswith("SPPF"):
+        sub = {"cv1": "ConvBnSiLU_0", "cv2": "ConvBnSiLU_1"}[rest[0]]
+        return _conv_bn_path(rest[1:], (top, sub))
+
+    if top.startswith("DetectHead"):
+        if rest[0] == "dfl":
+            return None  # fixed arange conv == our dfl_expectation, not a weight
+        # ultralytics cv2 = box branch, cv3 = cls branch; per scale s the
+        # Sequential is (Conv, Conv, Conv2d). Our DetectHead creates, per scale:
+        # ConvBnSiLU_{4s}, ConvBnSiLU_{4s+1}, Conv_{2s} (box) then
+        # ConvBnSiLU_{4s+2}, ConvBnSiLU_{4s+3}, Conv_{2s+1} (cls).
+        branch, s, j = rest[0], int(rest[1]), rest[2]
+        boff = 0 if branch == "cv2" else 2
+        if branch not in ("cv2", "cv3"):
+            raise KeyError(f"unrecognized head tensor: {key}")
+        if j in ("0", "1"):
+            sub = f"ConvBnSiLU_{4 * s + boff + int(j)}"
+            return _conv_bn_path(rest[3:], (top, sub))
+        if j == "2":  # plain conv with bias
+            conv = f"Conv_{2 * s + (0 if branch == 'cv2' else 1)}"
+            if rest[3] == "weight":
+                return "params", (top, conv, "kernel"), True
+            if rest[3] == "bias":
+                return "params", (top, conv, "bias"), False
+        raise KeyError(f"unrecognized head tensor: {key}")
+
+    raise KeyError(f"unmapped key: {key}")
+
+
+def convert_to_flax(state: Dict[str, np.ndarray], variables: Any) -> Any:
+    """Convert an ultralytics v8 state dict onto our Flax variable tree by name.
+
+    Every torch tensor must land on a flax leaf of identical shape, and every
+    flax leaf must be written exactly once — both checked, so partial or
+    misaligned loads raise instead of silently mixing converted and random
+    weights."""
     import jax
 
-    flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
+    def to_mutable(d):
+        if hasattr(d, "items"):
+            return {k: to_mutable(v) for k, v in d.items()}
+        return np.asarray(d)
 
-    # Order the torch tensors: convs + bn in module order.
-    torch_items = [
-        (k, v) for k, v in state.items() if not k.endswith("num_batches_tracked")
-    ]
+    out = to_mutable(variables)
+    written = set()
 
-    def key_str(path):
-        return "/".join(str(p) for p in path)
+    def set_leaf(collection: str, path: Tuple[str, ...], value: np.ndarray, key: str):
+        node = out[collection]
+        for p in path[:-1]:
+            if p not in node:
+                raise KeyError(f"{key}: flax path {collection}/{'/'.join(path)} missing at {p}")
+            node = node[p]
+        leaf = node.get(path[-1])
+        if leaf is None:
+            raise KeyError(f"{key}: flax leaf {collection}/{'/'.join(path)} not found")
+        if np.asarray(leaf).shape != value.shape:
+            raise ValueError(
+                f"{key}: shape {value.shape} != flax {collection}/{'/'.join(path)} "
+                f"shape {np.asarray(leaf).shape}"
+            )
+        node[path[-1]] = value.astype(np.float32)
+        written.add((collection,) + path)
 
-    used = [False] * len(torch_items)
-    new_leaves = []
-    ti = 0
-    for path, leaf in flat:
-        shape = np.asarray(leaf).shape
-        found = None
-        for j in range(ti, len(torch_items)):
-            if used[j]:
-                continue
-            name, tensor = torch_items[j]
-            cand = _conv_to_flax(tensor) if tensor.ndim == 4 else tensor
-            if cand.shape == shape:
-                found = (j, cand)
-                break
-        if found is None:
-            raise ValueError(f"no torch tensor matches {key_str(path)} shape {shape}")
-        j, cand = found
-        used[j] = True
-        ti = j  # keep roughly positional
-        new_leaves.append(cand.astype(np.float32))
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    for key, tensor in state.items():
+        m = ult_key_to_flax(key)
+        if m is None:
+            continue
+        collection, path, transpose = m
+        set_leaf(collection, path, _conv_to_flax(tensor) if transpose else tensor, key)
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(out)
+    all_paths = {
+        tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path)
+        for path, _ in flat
+    }
+    missing = all_paths - written
+    if missing:
+        raise ValueError(
+            f"{len(missing)} flax leaves not covered by the checkpoint, e.g. "
+            f"{sorted(missing)[:5]}"
+        )
+    return out

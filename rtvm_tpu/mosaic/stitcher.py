@@ -64,6 +64,8 @@ class WindowAux(NamedTuple):
     num_inliers: jnp.ndarray  # [B] int32
     H_abs: jnp.ndarray  # [B, 3, 3] absolute homographies (frame -> canvas)
     ok: jnp.ndarray  # [B] bool homography accepted (vs identity fallback)
+    blended: jnp.ndarray  # [B] bool frame was painted into the canvas (False =
+    # match/RANSAC failure -> frame skipped entirely, reference main.py:722-731)
 
 
 def _extract_features(gray: jnp.ndarray, cfg: MosaicConfig):
@@ -177,18 +179,27 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
         hc, wc = state.canvas.shape[1], state.canvas.shape[2]
 
         def body(carry, xs):
-            canvas, union, H_old, hbuf, hcount = carry
-            frame_cm, H_rel, ok_r = xs
-            ok = ok_r & geo.validate_homography(
+            canvas, union, H_old, hbuf, hcount, kp_c, desc_c, valid_c = carry
+            frame_cm, H_rel, ok_r, kp_f, desc_f, valid_f = xs
+            # Skip semantics (reference main.py:722-731): on a match/RANSAC failure
+            # the reference returns early — no warp, no blend, no history push, and
+            # the previous frame's features/H_old stay the matching target. A
+            # *validation* failure (main.py:734-737) instead degrades H_rel to
+            # identity and continues (frame IS blended at the previous pose).
+            ok_v = geo.validate_homography(
                 H_rel, st.translation_threshold, st.scale_threshold, st.perspective_threshold
             )
+            ok = ok_r & ok_v
             H_v = jnp.where(ok, H_rel, geo.EYE3)
             if st.enabled:
-                hbuf, hcount, H_s = geo.smooth_homography_step(hbuf, hcount, H_v, weight_table)
+                hbuf2, hcount2, H_s = geo.smooth_homography_step(hbuf, hcount, H_v, weight_table)
             else:
-                H_s = H_v
-            H_abs = H_old @ H_s
+                hbuf2, hcount2, H_s = hbuf, hcount, H_v
+            hbuf = jnp.where(ok_r, hbuf2, hbuf)
+            hcount = jnp.where(ok_r, hcount2, hcount)
+            H_abs = jnp.where(ok_r, H_old @ H_s, H_old)
             new_px, w_new = warp_ops.warp_frame_cm(frame_cm, fweight, H_abs, hc, wc)
+            w_new = jnp.where(ok_r, w_new, 0.0)  # zero weight -> blend is a no-op
             # reference blend semantics: weights = distance transforms of the new
             # frame mask and the current mosaic mask (main.py:884-905)
             w_old = warp_ops.upsample_weight(
@@ -196,25 +207,35 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
             )
             canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
             union = union | warp_ops.coarse_footprint(w_new)
-            return (canvas, union, H_abs, hbuf, hcount), (H_abs, ok)
+            kp_c = jnp.where(ok_r, kp_f, kp_c)
+            desc_c = jnp.where(ok_r, desc_f, desc_c)
+            valid_c = jnp.where(ok_r, valid_f, valid_c)
+            carry = (canvas, union, H_abs, hbuf, hcount, kp_c, desc_c, valid_c)
+            return carry, (H_abs, ok, ok_r)
 
-        carry0 = (state.canvas, state.union_coarse, state.H_old, state.hbuf, state.hcount)
-        (canvas, union, H_old, hbuf, hcount), (H_abs_seq, ok_seq) = jax.lax.scan(
-            body, carry0, (frames_cm, H_rels, r_ok)
+        carry0 = (
+            state.canvas, state.union_coarse, state.H_old, state.hbuf, state.hcount,
+            state.kp, state.desc, state.kp_valid,
         )
+        (canvas, union, H_old, hbuf, hcount, kp_l, desc_l, valid_l), (
+            H_abs_seq, ok_seq, blended_seq
+        ) = jax.lax.scan(body, carry0, (frames_cm, H_rels, r_ok, kps, descs, valids))
 
         new_state = MosaicState(
             canvas=canvas,
             union_coarse=union,
             H_old=H_old,
-            kp=kps[-1],
-            desc=descs[-1],
-            kp_valid=valids[-1],
+            kp=kp_l,
+            desc=desc_l,
+            kp_valid=valid_l,
             hbuf=hbuf,
             hcount=hcount,
             frame_idx=state.frame_idx + b,
         )
-        aux = WindowAux(num_matches=n_match, num_inliers=n_inl, H_abs=H_abs_seq, ok=ok_seq)
+        aux = WindowAux(
+            num_matches=n_match, num_inliers=n_inl, H_abs=H_abs_seq, ok=ok_seq,
+            blended=blended_seq,
+        )
         return new_state, aux
 
     return jax.jit(step, donate_argnums=(0,))

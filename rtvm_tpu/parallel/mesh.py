@@ -108,7 +108,9 @@ def dryrun_multichip(n_devices: int) -> None:
         hcount=repl,
         frame_idx=repl,
     )
-    aux_shardings = S.WindowAux(num_matches=repl, num_inliers=repl, H_abs=repl, ok=repl)
+    aux_shardings = S.WindowAux(
+        num_matches=repl, num_inliers=repl, H_abs=repl, ok=repl, blended=repl
+    )
 
     step = jax.jit(
         step_fn,

@@ -27,12 +27,30 @@ def save_pytree_npz(path: str, tree: Any) -> None:
 
 
 def load_pytree_npz(path: str, like: Any) -> Any:
-    """Restore a pytree saved by save_pytree_npz, using `like` for the structure."""
+    """Restore a pytree saved by save_pytree_npz, using `like` for the structure.
+
+    The stored treedef string and per-leaf shapes/dtypes are validated against
+    `like` so a checkpoint from a different config cannot silently misassign
+    leaves that happen to coincide in count."""
     import jax
 
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
-    restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    if "__treedef__" in data:
+        saved_td = bytes(data["__treedef__"]).decode()
+        if saved_td != str(treedef):
+            raise ValueError(
+                f"checkpoint structure mismatch:\n  saved: {saved_td}\n  expected: {str(treedef)}"
+            )
+    restored = []
+    for i, ref in enumerate(leaves):
+        leaf = data[f"leaf_{i}"]
+        ref = np.asarray(ref)
+        if leaf.shape != ref.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {leaf.shape} != expected {ref.shape}"
+            )
+        restored.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 

@@ -64,22 +64,29 @@ def mosaic_psnr_vs_opencv(video_path: str, n_frames: int = 64, window: int = 16,
         frames.append(fr)
     cap.release()
 
+    # Keep the clip a multiple of the window so no padded duplicate frames are
+    # blended into the TPU mosaic but excluded from the oracle replay.
+    n_use = (len(frames) // window) * window
+    frames = frames[:n_use]
+
     cfg = MosaicConfig(window_size=window)
     m = VideMosaic(f0, detector_type=detector, config=cfg)
-    hs = []
+    hs, replay_frames = [], []
     i = 0
     while i < len(frames):
         chunk = frames[i : i + window]
-        n_valid = len(chunk)
-        while len(chunk) < window:
-            chunk.append(frames[-1])
         aux = m.process_window(np.stack(chunk))
-        hs.extend(list(np.asarray(aux.H_abs)[:n_valid]))
+        h_abs = np.asarray(aux.H_abs)
+        blended = np.asarray(aux.blended)
+        for j, fr in enumerate(chunk):
+            if blended[j]:  # skipped frames are painted by neither pipeline
+                hs.append(h_abs[j])
+                replay_frames.append(fr)
         i += window
 
     ours = m.output_img
     hc, wc = ours.shape[:2]
-    oracle = opencv_reference_mosaic(frames, hs, (hc, wc), f0, (m.w_offset, m.h_offset))
+    oracle = opencv_reference_mosaic(replay_frames, hs, (hc, wc), f0, (m.w_offset, m.h_offset))
 
     mask = (oracle.sum(-1) > 0) & (ours.sum(-1) > 0)
     for sh in (4, -4):

@@ -21,6 +21,17 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 UPLOADS = os.path.join(os.getcwd(), "uploads")
 RESULTS = os.path.join(os.getcwd(), "results")
 
+def _inside(base: str, path: str) -> bool:
+    """True iff `path` resolves to a location inside `base` (no traversal/symlink
+    escape): both sides go through realpath before the containment check."""
+    base_r = os.path.realpath(base)
+    path_r = os.path.realpath(path)
+    try:
+        return os.path.commonpath([base_r, path_r]) == base_r
+    except ValueError:  # different drives (win32)
+        return False
+
+
 progress_status = {"state": "idle", "frame": 0, "percent": 0.0, "error": None}
 _lock = threading.Lock()
 _current_video = {"path": None}
@@ -54,7 +65,10 @@ class Handler(SimpleHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _file(self, path, ctype=None):
+    def _file(self, path, ctype=None, base=None):
+        if base is not None and not _inside(base, path):
+            self.send_error(403)
+            return
         if not os.path.exists(path):
             self.send_error(404)
             return
@@ -72,7 +86,10 @@ class Handler(SimpleHTTPRequestHandler):
         if p in ("/", "/index.html"):
             self._file(os.path.join(ROOT, "templates", "index.html"), "text/html")
         elif p.startswith("/static/"):
-            self._file(os.path.join(ROOT, p.lstrip("/")))
+            static_root = os.path.join(ROOT, "static")
+            self._file(
+                os.path.join(static_root, p[len("/static/"):]), base=static_root
+            )
         elif p == "/progress":
             with _lock:
                 self._json(dict(progress_status))
@@ -86,11 +103,8 @@ class Handler(SimpleHTTPRequestHandler):
                             files[rel] = f"/results-files/{rel}"
             self._json({"files": files})
         elif p.startswith("/results-files/"):
-            rel = os.path.normpath(p[len("/results-files/"):])
-            if rel.startswith(".."):
-                self.send_error(403)
-                return
-            self._file(os.path.join(RESULTS, rel))
+            rel = p[len("/results-files/"):].lstrip("/")
+            self._file(os.path.join(RESULTS, rel), base=RESULTS)
         else:
             self.send_error(404)
 
@@ -99,28 +113,22 @@ class Handler(SimpleHTTPRequestHandler):
         if p == "/upload":
             length = int(self.headers.get("Content-Length", 0))
             ctype = self.headers.get("Content-Type", "")
-            data = self.rfile.read(length)
             os.makedirs(UPLOADS, exist_ok=True)
-            # minimal multipart parse: find the file part's payload
-            if "multipart/form-data" in ctype and b"\r\n\r\n" in data:
-                boundary = ctype.split("boundary=")[-1].encode()
-                parts = data.split(b"--" + boundary)
-                payload, fname = None, "upload.mp4"
-                for part in parts:
-                    if b"filename=" in part:
-                        head, _, body = part.partition(b"\r\n\r\n")
-                        fname = head.split(b'filename="')[1].split(b'"')[0].decode() or fname
-                        payload = body.rstrip(b"\r\n")
-                if payload is None:
+            if "multipart/form-data" in ctype:
+                dest = self._stream_multipart(length, ctype)
+                if dest is None:
                     self._json({"error": "no file"}, 400)
                     return
-                dest = os.path.join(UPLOADS, os.path.basename(fname))
-                with open(dest, "wb") as f:
-                    f.write(payload)
             else:
                 dest = os.path.join(UPLOADS, "upload.mp4")
                 with open(dest, "wb") as f:
-                    f.write(data)
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                        remaining -= len(chunk)
             _current_video["path"] = dest
             self._json({"ok": True, "path": os.path.basename(dest)})
         elif p == "/start":
@@ -133,6 +141,57 @@ class Handler(SimpleHTTPRequestHandler):
             self._json({"ok": True})
         else:
             self.send_error(404)
+
+    def _stream_multipart(self, length: int, ctype: str):
+        """Stream the file part of a multipart/form-data body to UPLOADS without
+        buffering the whole body in RAM (large drone videos). Returns the dest path
+        or None if no file part is present."""
+        boundary = b"--" + ctype.split("boundary=")[-1].strip().encode()
+        remaining = length
+
+        def read(n):
+            nonlocal remaining
+            chunk = self.rfile.read(min(n, remaining))
+            remaining -= len(chunk)
+            return chunk
+
+        # Accumulate until the file part's header block is complete.
+        buf = b""
+        while remaining > 0 and len(buf) < 1 << 20:
+            buf += read(64 << 10)
+            start = buf.find(b"filename=")
+            if start != -1 and b"\r\n\r\n" in buf[start:]:
+                break
+        start = buf.find(b"filename=")
+        if start == -1:
+            return None
+        head_end = buf.index(b"\r\n\r\n", start) + 4
+        try:
+            fname = buf[start:].split(b'"', 2)[1].decode() or "upload.mp4"
+        except (IndexError, UnicodeDecodeError):
+            fname = "upload.mp4"
+        dest = os.path.join(UPLOADS, os.path.basename(fname))
+
+        # Stream payload to disk, holding back a tail long enough to contain a
+        # partially-received terminating b"\r\n--boundary".
+        hold = len(boundary) + 4
+        buf = buf[head_end:]
+        with open(dest, "wb") as f:
+            while True:
+                end = buf.find(b"\r\n" + boundary)
+                if end != -1:
+                    f.write(buf[:end])
+                    break
+                if remaining <= 0:
+                    f.write(buf)  # unterminated body: keep what we got
+                    break
+                if len(buf) > hold:
+                    f.write(buf[:-hold])
+                    buf = buf[-hold:]
+                buf += read(1 << 20)
+        while remaining > 0:  # drain the rest of the request
+            read(1 << 20)
+        return dest
 
     def log_message(self, fmt, *args):  # quiet
         pass
