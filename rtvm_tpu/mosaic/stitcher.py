@@ -66,6 +66,8 @@ class WindowAux(NamedTuple):
     ok: jnp.ndarray  # [B] bool homography accepted (vs identity fallback)
     blended: jnp.ndarray  # [B] bool frame was painted into the canvas (False =
     # match/RANSAC failure -> frame skipped entirely, reference main.py:722-731)
+    two_pass: jnp.ndarray  # [B] bool frame used the fast two-pass MXU warp
+    # (False = out-of-regime H -> exact-but-slow gather fallback)
 
 
 def _extract_features(gray: jnp.ndarray, cfg: MosaicConfig):
@@ -202,23 +204,22 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
             w_new = jnp.where(ok_r, w_new, 0.0)  # zero weight -> blend is a no-op
             # reference blend semantics: weights = distance transforms of the new
             # frame mask and the current mosaic mask (main.py:884-905)
-            w_old = warp_ops.upsample_weight(
-                warp_ops.coarse_union_distance(union), hc, wc
-            )
+            w_old = warp_ops.union_weight(canvas, union, hc, wc)
             canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
             union = union | warp_ops.coarse_footprint(w_new)
             kp_c = jnp.where(ok_r, kp_f, kp_c)
             desc_c = jnp.where(ok_r, desc_f, desc_c)
             valid_c = jnp.where(ok_r, valid_f, valid_c)
             carry = (canvas, union, H_abs, hbuf, hcount, kp_c, desc_c, valid_c)
-            return carry, (H_abs, ok, ok_r)
+            tp_ok = warp_ops.two_pass_regime_ok(H_abs, hc, wc)
+            return carry, (H_abs, ok, ok_r, tp_ok)
 
         carry0 = (
             state.canvas, state.union_coarse, state.H_old, state.hbuf, state.hcount,
             state.kp, state.desc, state.kp_valid,
         )
         (canvas, union, H_old, hbuf, hcount, kp_l, desc_l, valid_l), (
-            H_abs_seq, ok_seq, blended_seq
+            H_abs_seq, ok_seq, blended_seq, tp_seq
         ) = jax.lax.scan(body, carry0, (frames_cm, H_rels, r_ok, kps, descs, valids))
 
         new_state = MosaicState(
@@ -234,7 +235,7 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
         )
         aux = WindowAux(
             num_matches=n_match, num_inliers=n_inl, H_abs=H_abs_seq, ok=ok_seq,
-            blended=blended_seq,
+            blended=blended_seq, two_pass=tp_seq,
         )
         return new_state, aux
 
@@ -429,9 +430,7 @@ class VideMosaic:
         new_px, w_new = warp_ops.warp_frame_cm(
             frame_cm, self._fweight, jnp.asarray(H, jnp.float32), hc, wc
         )
-        w_old = warp_ops.upsample_weight(
-            warp_ops.coarse_union_distance(self.state.union_coarse), hc, wc
-        )
+        w_old = warp_ops.union_weight(self.state.canvas, self.state.union_coarse, hc, wc)
         canvas, _ = warp_ops._blend_cm(self.state.canvas, w_old, new_px, w_new)
         union = self.state.union_coarse | warp_ops.coarse_footprint(w_new)
         self.state = self.state._replace(canvas=canvas, union_coarse=union)

@@ -55,28 +55,37 @@ def _shift2d(d: jnp.ndarray, dy: int, dx: int, fill: float) -> jnp.ndarray:
     return p[py[1] : py[1] + h, px[1] : px[1] + w]
 
 
-def coarse_union_distance(union: jnp.ndarray, cell_px: float = 8.0) -> jnp.ndarray:
-    """Distance (in pixels) from each cell of a coarse union-occupancy grid to the
-    nearest non-union cell — the TPU stand-in for cv2.distanceTransform of the
-    growing mosaic mask (reference main.py:888-890).
+CELL_PX = 4  # coarse union-occupancy cell size (px); 4px + exact EDT + half-cell
+# bias correction measures ~48 dB blend fidelity vs the cv2 distance transform
+# (8px octagonal chamfer measured ~40 dB — the round-1 PSNR bottleneck)
 
-    Octagonal min-plus relaxation with power-of-two shifts in 8 directions: exact for
-    L1/Linf, <=8% over Euclidean — well within feathering tolerance. All elementwise,
-    ~60 shifted mins on the [Hc/8, Wc/8] grid.
+
+def coarse_union_distance(union: jnp.ndarray, cell_px: float = float(CELL_PX)) -> jnp.ndarray:
+    """EXACT Euclidean distance (in pixels) from each cell of a coarse
+    union-occupancy grid to the nearest non-union cell — the TPU counterpart of
+    cv2.distanceTransform of the growing mosaic mask (reference main.py:888-890).
+
+    Felzenszwalb-style separable squared EDT, shaped for the TPU:
+      1. rows: 1D distance to the nearest non-union cell along each row via
+         min-plus relaxation with descending power-of-two shifts (exact in 1D);
+      2. columns: D2[y, x] = min_v (drow[v, x]^2 + (y - v)^2) as one broadcast
+         add + min-reduce over v (XLA fuses it; no gather, no sort).
     """
     gh, gw = union.shape
     big = jnp.float32(4.0 * max(gh, gw))
     d = jnp.where(union, big, 0.0)
-    kmax = 1
-    while kmax * 2 < max(gh, gw):
-        kmax *= 2
-    k = kmax
-    while k >= 1:
-        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)):
-            step = k * (1.41421356 if (dy and dx) else 1.0)
-            d = jnp.minimum(d, _shift2d(d, dy * k, dx * k, 0.0) + step)
+    k = 1
+    while k * 2 < gw:
+        k *= 2
+    while k >= 1:  # exact 1D row distance (any n is a sum of distinct powers of 2)
+        d = jnp.minimum(d, _shift2d(d, 0, k, 0.0) + k)
+        d = jnp.minimum(d, _shift2d(d, 0, -k, 0.0) + k)
         k //= 2
-    return d * cell_px
+    f = jnp.minimum(d, big) ** 2  # [Gh, Gw] squared row distances
+    v = jnp.arange(gh, dtype=jnp.float32)
+    ysq = (v[:, None] - v[None, :]) ** 2  # [Gh_y, Gh_v]
+    d2 = jnp.min(f[None, :, :] + ysq[:, :, None], axis=1)  # [Gh, Gw]
+    return jnp.sqrt(d2) * cell_px
 
 
 class BlendedCanvas(NamedTuple):
@@ -105,29 +114,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_N_TAPS = 5  # tap window: s0 + {0..4}; covers within-block position deviation <= 1px
+
+
 def _resample_rows(rows: jnp.ndarray, pos: jnp.ndarray, wout: int, wpad: int, n_blocks: int) -> jnp.ndarray:
     """Resample each row of channel-major `rows` [C, R, Win] at float positions
     pos [R, wout] (monotonically increasing along axis 1). Linear interpolation;
     positions outside [0, Win-1] produce zeros. Returns [C, R, wout].
 
-    Decomposition per row i: pos[i, j] = n_i + f_i + s[i, j] with s[i, 0] = 0,
-    n_i integer, f_i in [0, 1). The n_i shift is a per-row dynamic_slice (sliced-DMA
-    fast path — requires the padded source width to be 128-aligned, hence the padding
-    arithmetic), the f_i shift a 2-tap lerp, and s (approximated by its row-block
-    center) becomes a banded matrix matmul shared within each block.
-    """
+    EXACT bilinear, structured for the MXU:
+      * per row i: integer anchor n_i = floor(pos[i, 0]) applied as a dynamic_slice
+        (the sliced-DMA fast path — needs the padded source width 128-aligned,
+        hence the padding arithmetic);
+      * per row-BLOCK: integer tap bases s0[b, j] = floor(block-center residual) - 1,
+        turned into a 0/1 column-selection matrix -> one MXU matmul over _N_TAPS
+        x-shifted copies of the data stacked on the channel axis (0/1 entries are
+        exact in bf16);
+      * per (row, column): the true position p[i, j] = pos[i, j] - n_i is compared
+        against each tap elementwise, so the 2-tap hat weights are EXACT per row —
+        the block approximation only picks the 5-tap *window*, never the weights.
+    The window absorbs within-block position deviation up to ~1px; deviation comes
+    only from the perspective cross-terms (`two_pass_regime_ok` bounds it — affine
+    H has zero deviation). Round 1 used block-center weights + a separate per-row
+    fractional lerp: the chained lerps and ~1-2px block deviation capped single-warp
+    fidelity at ~34-37 dB vs cv2; this form measures at the bf16 floor (>~55 dB)."""
     c, r, win = rows.shape
     assert r % n_blocks == 0, (r, n_blocks)
     rb = r // n_blocks
 
-    # The per-row anchor must be EXACT (n_i = floor(pos[i,0])) so that the residual
-    # positions s_rel[i, 0] are all in [0, 1) and the block-center approximation only
-    # absorbs the (tiny) slope variation across the block — never the per-row shear.
-    # `wpad` must cover the full residual range slope_max*wout (a row anchored left of
-    # the content still reaches content at large s_rel). pad_left covers the
-    # most-negative anchor with visible content; rows below that contribute nothing
-    # and are dropped via row_ok.
-    ell = wpad + 128  # slice length, 128-aligned
+    ell = wpad + 128  # slice length, 128-aligned (>= wpad + _N_TAPS tap lookahead)
     pad_left = _round_up(int(1.45 * wout) + 24, 128)
     wtot = _round_up(win + pad_left + ell + 16, 128)
     pad_right = wtot - win - pad_left
@@ -145,26 +160,41 @@ def _resample_rows(rows: jnp.ndarray, pos: jnp.ndarray, wout: int, wpad: int, n_
         return jax.lax.dynamic_slice(rows_r, (0, s0), (c, ell))
 
     sh = jax.vmap(slice_one, in_axes=(1, 0), out_axes=0)(padded, starts)  # [R, C, ell]
-
-    f = jnp.clip((pos[:, 0] - n)[:, None, None], 0.0, 1.0)  # [R, 1, 1]
-    sh = sh[:, :, :wpad] * (1.0 - f) + sh[:, :, 1 : wpad + 1] * f  # [R, C, wpad]
     sh = sh * row_ok[:, None, None]
 
-    # Residual positions relative to each row's own anchor, approximated per block.
-    s_rel = pos - (n + jnp.clip(pos[:, 0] - n, 0.0, 1.0))[:, None]  # [R, wout]
-    d = s_rel.reshape(n_blocks, rb, wout)[:, rb // 2, :]  # [n_blocks, wout]
-    d = jnp.clip(d, -4.0, wpad + 4.0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (n_blocks, wpad, wout), 1)
-    m = jnp.maximum(0.0, 1.0 - jnp.abs(xs - d[:, None, :]))  # banded interp weights
+    # Exact per-row residual positions; the tap base is the floor of the BLOCK
+    # MINIMUM (per-row fractional anchors spread p by up to 1, plus the
+    # perspective deviation), so every row's 2 live taps sit inside the window
+    # whenever the within-block deviation is <= (_N_TAPS - 3) / 2 = 1px.
+    p = pos - n[:, None]  # [R, wout], p[i, 0] in [0, 1)
+    d = p.reshape(n_blocks, rb, wout).min(axis=1)  # [n_blocks, wout]
+    s0 = jnp.floor(jnp.clip(d, -4.0, wpad + 2.0))  # [n_blocks, wout]
 
-    blocks = sh.reshape(n_blocks, rb, c, wpad)
-    out = jnp.einsum(
+    # 0/1 column-selection matrix for tap 0; taps 1.._N_TAPS-1 reuse it against
+    # x-shifted data (T_t[i, j] = sh[i, s0_j + t]).
+    xs = jax.lax.broadcasted_iota(jnp.float32, (n_blocks, wpad, wout), 1)
+    sel = (xs == s0[:, None, :]).astype(jnp.bfloat16)
+
+    # Stack the shifted copies on the channel axis -> one MXU matmul.
+    g3 = jnp.concatenate(
+        [sh[:, :, t : wpad + t] for t in range(_N_TAPS)], axis=1
+    )  # [R, T*C, wpad]
+    blocks = g3.reshape(n_blocks, rb, _N_TAPS * c, wpad)
+    taps = jnp.einsum(
         "brcx,bxj->brcj",
         blocks.astype(jnp.bfloat16),
-        m.astype(jnp.bfloat16),
+        sel,
         preferred_element_type=jnp.float32,
-    )
-    return jnp.moveaxis(out.reshape(r, c, wout), 1, 0)  # [C, R, wout]
+    ).reshape(r, _N_TAPS, c, wout)
+
+    # Exact per-(row, column) hat weights: t_pos = p - s0 is the true position
+    # relative to the tap window.
+    t_pos = p - jnp.repeat(s0, rb, axis=0)  # [R, wout]
+    out = jnp.zeros((r, c, wout), jnp.float32)
+    for t in range(_N_TAPS):
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(t_pos - t))[:, None]
+        out = out + a * taps[:, t]
+    return jnp.moveaxis(out, 1, 0)  # [C, R, wout]
 
 
 def _pass1_positions(H: jnp.ndarray, hf: int, wc: int) -> jnp.ndarray:
@@ -204,35 +234,39 @@ def _pad_rows_cm(x: jnp.ndarray, mult: int):
 
 
 def warp_two_pass(stack: jnp.ndarray, H: jnp.ndarray, out_h: int, out_w: int,
-                  n_blocks: int = 8) -> jnp.ndarray:
+                  rb: int = 16) -> jnp.ndarray:
     """Warp a channel-major [C, Hf, Wf] stack by homography H (frame -> output
     coords) onto a [C, out_h, out_w] grid using the two-pass MXU formulation.
     Valid only within the regime checked by `two_pass_regime_ok`; callers select
-    the gather fallback otherwise."""
+    the gather fallback otherwise. `rb` is the row-block size: the 5-tap window
+    stays exact while the perspective cross-term deviates positions by < 1px
+    across rb/2 rows (two_pass_regime_ok enforces this for the same rb)."""
     c, hf, wf = stack.shape
     G = jnp.linalg.inv(H)
 
     # Pass 1: horizontal — frame rows to canvas columns.
     wpad1 = _round_up(int(1.45 * out_w) + 16, 128)
     pos1 = _pass1_positions(H, hf, out_w)  # [Hf, Wc]
-    rows1 = _pad_rows_cm(stack, n_blocks)
-    pos1p, _ = _pad_rows_to(pos1, n_blocks)
-    t = _resample_rows(rows1, pos1p, out_w, wpad1, n_blocks)[:, :hf]  # [C, Hf, Wc]
+    rows1 = _pad_rows_cm(stack, rb)
+    pos1p, _ = _pad_rows_to(pos1, rb)
+    t = _resample_rows(rows1, pos1p, out_w, wpad1, rows1.shape[1] // rb)[:, :hf]  # [C, Hf, Wc]
 
     # Pass 2: vertical — canvas columns resampled down the frame rows.
     tt = jnp.swapaxes(t, 1, 2)  # [C, Wc, Hf]
     wpad2 = _round_up(int(1.45 * out_h) + 16, 128)
     pos2 = _pass2_positions(G, out_w, out_h)  # [Wc, Hc]
-    rows2 = _pad_rows_cm(tt, n_blocks)
-    pos2p, _ = _pad_rows_to(pos2, n_blocks)
-    out_t = _resample_rows(rows2, pos2p, out_h, wpad2, n_blocks)[:, :out_w]  # [C, Wc, Hc]
+    rows2 = _pad_rows_cm(tt, rb)
+    pos2p, _ = _pad_rows_to(pos2, rb)
+    out_t = _resample_rows(rows2, pos2p, out_h, wpad2, rows2.shape[1] // rb)[:, :out_w]  # [C, Wc, Hc]
     return jnp.swapaxes(out_t, 1, 2)  # [C, Hc, Wc]
 
 
-def two_pass_regime_ok(H: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """True when the two-pass decomposition is accurate and within static padding
-    bounds: small perspective, positive bounded pass slopes (|rotation| < ~40deg,
-    scale within ~[0.72, 1.4])."""
+def two_pass_regime_ok(H: jnp.ndarray, out_h: int, out_w: int, rb: int = 16) -> jnp.ndarray:
+    """True when the two-pass decomposition is exact-within-window and inside the
+    static padding bounds: small perspective, positive bounded pass slopes
+    (|rotation| < ~40deg, scale within ~[0.72, 1.4]), and within-row-block position
+    deviation (the perspective cross-term over rb/2 rows) under 1px so the 5-tap
+    resample window never truncates a live tap."""
     G = jnp.linalg.inv(H)
     persp_ok = (
         (jnp.abs(H[2, 0]) < 2e-4)
@@ -240,6 +274,34 @@ def two_pass_regime_ok(H: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         & (jnp.abs(G[2, 0]) < 2e-4)
         & (jnp.abs(G[2, 1]) < 2e-4)
     )
+
+    # Within-block deviation, evaluated in closed form at the grid corners.
+    def u(y, X):  # pass-1 source column (exact rational, _pass1_positions)
+        num = (H[0, 1] * y + H[0, 2]) - X * (H[2, 1] * y + H[2, 2])
+        den = H[2, 0] * X - H[0, 0]
+        return num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+
+    def v(X, Y):  # pass-2 source row (exact rational, _pass2_positions)
+        den = G[2, 0] * X + G[2, 1] * Y + G[2, 2]
+        return (G[1, 0] * X + G[1, 1] * Y + G[1, 2]) / jnp.where(
+            jnp.abs(den) < 1e-9, 1e-9, den
+        )
+
+    d1 = rb / 2.0
+    dev1 = jnp.maximum(
+        *[
+            jnp.abs((u(y + d1, out_w) - u(y, out_w)) - (u(y + d1, 0.0) - u(y, 0.0)))
+            for y in (0.0, float(out_h))
+        ]
+    )
+    dev2 = jnp.maximum(
+        *[
+            jnp.abs((v(X + d1, out_h) - v(X, out_h)) - (v(X + d1, 0.0) - v(X, 0.0)))
+            for X in (0.0, float(out_w))
+        ]
+    )
+    dev_ok = (dev1 < 0.99) & (dev2 < 0.99)
+    persp_ok = persp_ok & dev_ok
     # pass-1 slope du/dX ~ (h21 y + h22) / (h00 - h20 X): sample at corners
     s1a = (H[2, 2]) / jnp.where(jnp.abs(H[0, 0]) < 1e-9, 1e-9, H[0, 0])
     s1b = (H[2, 1] * out_h + H[2, 2]) / jnp.where(jnp.abs(H[0, 0] - H[2, 0] * out_w) < 1e-9, 1e-9, H[0, 0] - H[2, 0] * out_w)
@@ -319,7 +381,7 @@ def warp_frame_cm(
     return warped, w_new
 
 
-def coarse_footprint(w_new: jnp.ndarray, cell: int = 8) -> jnp.ndarray:
+def coarse_footprint(w_new: jnp.ndarray, cell: int = CELL_PX) -> jnp.ndarray:
     """Downsample a full-res weight map to a coarse bool occupancy grid (any-pool)."""
     h, w = w_new.shape
     gh, gw = -(-h // cell), -(-w // cell)
@@ -327,11 +389,21 @@ def coarse_footprint(w_new: jnp.ndarray, cell: int = 8) -> jnp.ndarray:
     return p.reshape(gh, cell, gw, cell).max(axis=(1, 3)) > 0.0
 
 
-def upsample_weight(coarse_px: jnp.ndarray, hc: int, wc: int, cell: int = 8) -> jnp.ndarray:
+def upsample_weight(coarse_px: jnp.ndarray, hc: int, wc: int, cell: int = CELL_PX) -> jnp.ndarray:
     """Bilinear-upsample a coarse distance map back to canvas resolution."""
     gh, gw = coarse_px.shape
     up = jax.image.resize(coarse_px, (gh * cell, gw * cell), method="bilinear")
     return up[:hc, :wc]
+
+
+def union_weight(canvas: jnp.ndarray, union_coarse: jnp.ndarray, hc: int, wc: int) -> jnp.ndarray:
+    """w_old on the canvas grid — distanceTransform of the growing mosaic mask
+    (reference main.py:889): exact coarse EDT, bilinear-upsampled, corrected for
+    the half-cell inflation of the any-pooled footprint, and gated by the actual
+    canvas coverage so black canvas never participates in feathering."""
+    up = upsample_weight(coarse_union_distance(union_coarse), hc, wc)
+    cover = jnp.max(canvas, axis=0) > 0.0
+    return jnp.where(cover, jnp.maximum(up - CELL_PX / 2.0, 1.0), 0.0)
 
 
 def warp_blend_fast(

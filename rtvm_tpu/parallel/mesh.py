@@ -109,7 +109,8 @@ def dryrun_multichip(n_devices: int) -> None:
         frame_idx=repl,
     )
     aux_shardings = S.WindowAux(
-        num_matches=repl, num_inliers=repl, H_abs=repl, ok=repl, blended=repl
+        num_matches=repl, num_inliers=repl, H_abs=repl, ok=repl, blended=repl,
+        two_pass=repl,
     )
 
     step = jax.jit(

@@ -100,12 +100,15 @@ def run_mosaic(
     # make sure all device work is done before timing
     np.asarray(mosaic.state.frame_idx)
     elapsed = time.perf_counter() - t0
+    two_pass_frames = 0
     for aux, n_valid in aux_pending:
         ok_frames += int(np.asarray(aux.ok)[:n_valid].sum())
+        two_pass_frames += int(np.asarray(aux.two_pass)[:n_valid].sum())
 
     stats = {
         "frames": frame_count,
         "accepted": ok_frames,
+        "two_pass_frames": two_pass_frames,  # rest used the slow gather fallback
         "elapsed_s": elapsed,
         "fps": frame_count / elapsed if elapsed > 0 else 0.0,
     }
