@@ -56,25 +56,55 @@ class ObjectDetector:
         seed: int = 0,
     ):
         self.model_name = model
-        self.model, self.variables = build_yolo(model, num_classes=num_classes, seed=seed)
-        self.class_names = C.COCO_CLASSES if num_classes == 80 else [str(i) for i in range(num_classes)]
         self.weights_loaded = False
-        path = weights_path or self._find_weights(model)
-        if path:
-            try:
-                from rtvm_tpu.models.yolo.weights import convert_to_flax, load_ultralytics_state_dict
 
-                self.variables = convert_to_flax(load_ultralytics_state_dict(path), self.variables)
+        # Preferred: our own checkpoint trained on synthetic aerial scenes
+        # (models/yolo/train_synth.py) — the reference's ultralytics .pt files
+        # are stripped from the snapshot.
+        npz = (weights_path if weights_path and weights_path.endswith(".npz") else None) \
+            or self._find_weights(model, ".npz", suffix="_aerial")
+        if npz:
+            try:
+                import json
+
+                from rtvm_tpu.models.yolo.synth import AERIAL_CLASSES
+                from rtvm_tpu.utils.checkpoint import load_pytree_npz
+
+                meta_path = npz[: -len(".npz")] + ".json"
+                classes = AERIAL_CLASSES
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        classes = json.load(f)["classes"]
+                self.model, self.variables = build_yolo(model, num_classes=len(classes), seed=seed)
+                self.variables = load_pytree_npz(npz, dict(self.variables))
+                self.class_names = list(classes)
                 self.weights_loaded = True
-                print(f"Загружены веса: {path}")
-            except Exception as e:  # graceful degradation like reference main.py:42-70
-                print(f"Предупреждение: не удалось загрузить веса {path}: {e}")
+                print(f"Загружены веса: {npz}")
+            except Exception as e:
+                print(f"Предупреждение: не удалось загрузить веса {npz}: {e}")
+
+        if not self.weights_loaded:
+            self.model, self.variables = build_yolo(model, num_classes=num_classes, seed=seed)
+            self.class_names = (
+                C.COCO_CLASSES if num_classes == 80 else [str(i) for i in range(num_classes)]
+            )
+            path = weights_path or self._find_weights(model, ".pt")
+            if path:
+                try:
+                    from rtvm_tpu.models.yolo.weights import convert_to_flax, load_ultralytics_state_dict
+
+                    self.variables = convert_to_flax(load_ultralytics_state_dict(path), self.variables)
+                    self.weights_loaded = True
+                    print(f"Загружены веса: {path}")
+                except Exception as e:  # graceful degradation like reference main.py:42-70
+                    print(f"Предупреждение: не удалось загрузить веса {path}: {e}")
         self._infer_cache = {}
 
     @staticmethod
-    def _find_weights(model: str) -> Optional[str]:
-        for d in _WEIGHT_SEARCH_PATHS:
-            p = os.path.join(d, f"{model}.pt")
+    def _find_weights(model: str, ext: str = ".pt", suffix: str = "") -> Optional[str]:
+        repo_weights = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "weights")
+        for d in _WEIGHT_SEARCH_PATHS + [repo_weights]:
+            p = os.path.join(d, f"{model}{suffix}{ext}")
             if os.path.exists(p):
                 return p
         return None
