@@ -70,16 +70,22 @@ class WindowAux(NamedTuple):
     # (False = out-of-regime H -> exact-but-slow gather fallback)
 
 
-def _extract_features(gray: jnp.ndarray, cfg: MosaicConfig):
-    """gray [H, W] -> (kp [K,2], desc, valid [K]) for the configured detector."""
+def _extract_features_batch(grays: jnp.ndarray, cfg: MosaicConfig):
+    """grays [B, H, W] -> (kp [B,K,2], desc [B,K,...], valid [B,K]).
+
+    Batch-first: the ORB descriptor stage runs its per-keypoint DMA slices in one
+    flat vmap over B*K (per-row billing — see orb.extract_patches_batch)."""
     f = cfg.features
     if f.detector_type == "orb":
-        kps = fast_ops.detect_fast(
-            gray, f.max_keypoints, f.fast_threshold, f.border_margin, f.fast_arc_length
-        )
-        desc = orb_ops.describe_orb(
-            gray,
-            kps,
+        kps = jax.vmap(
+            lambda g: fast_ops.detect_fast(
+                g, f.max_keypoints, f.fast_threshold, f.border_margin, f.fast_arc_length
+            )
+        )(grays)
+        desc = orb_ops.describe_orb_batch(
+            grays,
+            kps.xy,
+            kps.valid,
             n_bits=f.brief_bits,
             pattern_radius=f.brief_patch_radius,
             blur_sigma=f.brief_blur_sigma,
@@ -87,9 +93,14 @@ def _extract_features(gray: jnp.ndarray, cfg: MosaicConfig):
         )
         return kps.xy, desc.bits, kps.valid
     elif f.detector_type == "sift":
-        kp_xy, desc, valid = sift_ops.detect_and_describe(gray, f)
-        return kp_xy, desc, valid
+        return jax.vmap(lambda g: sift_ops.detect_and_describe(g, f))(grays)
     raise ValueError(f"unknown detector_type: {f.detector_type}")
+
+
+def _extract_features(gray: jnp.ndarray, cfg: MosaicConfig):
+    """gray [H, W] -> (kp [K,2], desc, valid [K]) for the configured detector."""
+    kp, desc, valid = _extract_features_batch(gray[None], cfg)
+    return kp[0], desc[0], valid[0]
 
 
 def _match_pair(desc_q, valid_q, desc_t, valid_t, cfg: MosaicConfig):
@@ -133,10 +144,6 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
     st = cfg.stabilization
     rc = cfg.ransac
 
-    def features_one(frame_u8):
-        gray = color.bgr2gray(frame_u8)
-        return _extract_features(gray, cfg), gray
-
     def step(
         state: MosaicState,
         frames: jnp.ndarray,
@@ -148,7 +155,8 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
         frames_cm = jnp.moveaxis(frames.astype(jnp.float32), -1, 1)  # [B, 3, H, W]
 
         # --- 1. batched feature extraction ---
-        (kps, descs, valids), _ = jax.vmap(features_one)(frames)
+        grays = jax.vmap(color.bgr2gray)(frames)
+        kps, descs, valids = _extract_features_batch(grays, cfg)
 
         # --- 2. batched pairwise match + RANSAC (pair b: frame b vs frame b-1) ---
         kp_prev = jnp.concatenate([state.kp[None], kps[:-1]], axis=0)
@@ -177,12 +185,12 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
             kps, descs, valids, kp_prev, desc_prev, valid_prev, keys
         )
 
-        # --- 3. sequential scan: validate -> smooth -> compose -> warp+blend ---
+        # --- 3a. light pre-scan: validate -> smooth -> compose (3x3 math only) ---
         hc, wc = state.canvas.shape[1], state.canvas.shape[2]
 
-        def body(carry, xs):
-            canvas, union, H_old, hbuf, hcount, kp_c, desc_c, valid_c = carry
-            frame_cm, H_rel, ok_r, kp_f, desc_f, valid_f = xs
+        def pre_body(carry, xs):
+            H_old, hbuf, hcount = carry
+            H_rel, ok_r = xs
             # Skip semantics (reference main.py:722-731): on a match/RANSAC failure
             # the reference returns early — no warp, no blend, no history push, and
             # the previous frame's features/H_old stay the matching target. A
@@ -200,27 +208,56 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
             hbuf = jnp.where(ok_r, hbuf2, hbuf)
             hcount = jnp.where(ok_r, hcount2, hcount)
             H_abs = jnp.where(ok_r, H_old @ H_s, H_old)
-            new_px, w_new = warp_ops.warp_frame_cm(frame_cm, fweight, H_abs, hc, wc)
-            w_new = jnp.where(ok_r, w_new, 0.0)  # zero weight -> blend is a no-op
-            # reference blend semantics: weights = distance transforms of the new
-            # frame mask and the current mosaic mask (main.py:884-905)
-            w_old = warp_ops.union_weight(canvas, union, hc, wc)
-            canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
-            union = union | warp_ops.coarse_footprint(w_new)
-            kp_c = jnp.where(ok_r, kp_f, kp_c)
-            desc_c = jnp.where(ok_r, desc_f, desc_c)
-            valid_c = jnp.where(ok_r, valid_f, valid_c)
-            carry = (canvas, union, H_abs, hbuf, hcount, kp_c, desc_c, valid_c)
             tp_ok = warp_ops.two_pass_regime_ok(H_abs, hc, wc)
-            return carry, (H_abs, ok, ok_r, tp_ok)
+            return (H_abs, hbuf, hcount), (H_abs, ok, ok_r, tp_ok)
 
-        carry0 = (
-            state.canvas, state.union_coarse, state.H_old, state.hbuf, state.hcount,
-            state.kp, state.desc, state.kp_valid,
+        (H_old, hbuf, hcount), (H_abs_seq, ok_seq, blended_seq, tp_seq) = jax.lax.scan(
+            pre_body, (state.H_old, state.hbuf, state.hcount), (H_rels, r_ok)
         )
-        (canvas, union, H_old, hbuf, hcount, kp_l, desc_l, valid_l), (
-            H_abs_seq, ok_seq, blended_seq, tp_seq
-        ) = jax.lax.scan(body, carry0, (frames_cm, H_rels, r_ok, kps, descs, valids))
+
+        # --- 3b. paint scan: warp + blend with a WINDOW-level regime cond.
+        # A per-frame lax.cond inside the scan costs ~2 ms/frame in lost fusion
+        # (measured); instead one cond picks an all-two-pass scan (the norm) or
+        # the exact gather scan (any out-of-regime frame in the window).
+        def paint_scan(warp_fn):
+            def body(carry, xs):
+                canvas, union = carry
+                frame_cm, H_abs, ok_r = xs
+                new_px = warp_fn(frame_cm, H_abs)
+                w_new = warp_ops.analytic_frame_weight(
+                    H_abs, frame_cm.shape[1], frame_cm.shape[2], hc, wc
+                )
+                w_new = jnp.where(ok_r, w_new, 0.0)  # skipped frame -> no-op blend
+                # reference blend semantics: weights = distance transforms of the
+                # new frame mask and the current mosaic mask (main.py:884-905)
+                w_old = warp_ops.union_weight(canvas, union, hc, wc)
+                canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
+                union = union | warp_ops.coarse_footprint(w_new)
+                return (canvas, union), None
+
+            def run(operand):
+                canvas0, union0 = operand
+                (canvas, union), _ = jax.lax.scan(
+                    body, (canvas0, union0), (frames_cm, H_abs_seq, blended_seq)
+                )
+                return canvas, union
+
+            return run
+
+        all_two_pass = jnp.all(tp_seq | ~blended_seq)
+        canvas, union = jax.lax.cond(
+            all_two_pass,
+            paint_scan(lambda f, h: warp_ops.warp_two_pass(f, h, hc, wc)),
+            paint_scan(lambda f, h: warp_ops._warp_gather_cm(f, h, hc, wc)),
+            operand=(state.canvas, state.union_coarse),
+        )
+
+        # last ACCEPTED frame's features become the next matching target
+        any_ok = jnp.any(blended_seq)
+        last = b - 1 - jnp.argmax(blended_seq[::-1])
+        kp_l = jnp.where(any_ok, jnp.take(kps, last, axis=0), state.kp)
+        desc_l = jnp.where(any_ok, jnp.take(descs, last, axis=0), state.desc)
+        valid_l = jnp.where(any_ok, jnp.take(valids, last, axis=0), state.kp_valid)
 
         new_state = MosaicState(
             canvas=canvas,

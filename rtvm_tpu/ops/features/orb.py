@@ -76,23 +76,81 @@ def _moment_masks(radius: int = 15, patch: int = PATCH):
     return (circ * xx).astype(np.float32), (circ * yy).astype(np.float32)
 
 
-def extract_patches(img: jnp.ndarray, kps: Keypoints, patch: int = PATCH) -> jnp.ndarray:
-    """[K, patch, patch] patches centered on integer keypoint coords (clamped).
+def extract_patches_batch(imgs: jnp.ndarray, xy: jnp.ndarray, patch: int = PATCH) -> jnp.ndarray:
+    """[B, K, patch, patch] patches centered on integer keypoint coords (clamped).
 
-    Row-gather + lane dynamic_slice: one gather fetches all K patch row-bands
-    ([K, patch, W] — full-lane rows ride the fast slice path), then a vmap'd
-    dynamic_slice cuts the columns. ~2x faster than per-patch 2D dynamic_slice
-    under vmap-of-vmap batching.
-    """
-    h, w = img.shape
+    Cost model (measured): vmap'd dynamic_slice is billed per DMA row, and the
+    slow path triggers when the source minor dim is not 128-aligned. So the
+    images are (1) padded to a 128-multiple width and (2) stacked vertically so
+    ONE flat vmap over B*K slices runs instead of a vmap-of-vmap (17.4 -> 10.5 ms
+    for 16x700 patches on v5e)."""
+    b, h, w = imgs.shape
     half = patch // 2
-    ys = jnp.clip(kps.xy[:, 1].astype(jnp.int32) - half, 0, h - patch)
-    xs = jnp.clip(kps.xy[:, 0].astype(jnp.int32) - half, 0, w - patch)
+    wp = -(-w // 128) * 128
+    big = jnp.pad(imgs, ((0, 0), (0, 0), (0, wp - w))).reshape(b * h, wp)
+    ys = jnp.clip(xy[..., 1].astype(jnp.int32) - half, 0, h - patch)
+    ys = (ys + jnp.arange(b, dtype=jnp.int32)[:, None] * h).reshape(-1)
+    xs = jnp.clip(xy[..., 0].astype(jnp.int32) - half, 0, w - patch).reshape(-1)
 
     def one(y0, x0):
-        return jax.lax.dynamic_slice(img, (y0, x0), (patch, patch))
+        return jax.lax.dynamic_slice(big, (y0, x0), (patch, patch))
 
-    return jax.vmap(one)(ys, xs)
+    return jax.vmap(one)(ys, xs).reshape(b, -1, patch, patch)
+
+
+def extract_patches(img: jnp.ndarray, kps: Keypoints, patch: int = PATCH) -> jnp.ndarray:
+    """[K, patch, patch] patches for one image (see extract_patches_batch)."""
+    return extract_patches_batch(img[None], kps.xy[None], patch)[0]
+
+
+def describe_orb_batch(
+    grays: jnp.ndarray,
+    kp_xy: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    n_bits: int = 256,
+    pattern_radius: int = 13,
+    blur_sigma: float = 2.0,
+    orientation_radius: int = 15,
+) -> Descriptors:
+    """Steered-BRIEF descriptors for [B, K, 2] keypoints over [B, H, W] images.
+
+    Batch-first so every per-keypoint dynamic_slice runs in ONE flat vmap over
+    B*K (per-DMA-row billing; see extract_patches_batch)."""
+    # uint8 smoothed image (as in OpenCV's ORB): keeps all descriptor intermediates
+    # 4x smaller than f32, which matters at large window batches.
+    smooth = jax.vmap(
+        lambda g: jnp.clip(gaussian_blur(g, blur_sigma), 0, 255).astype(jnp.uint8)
+    )(grays)
+    patches = extract_patches_batch(smooth, kp_xy)  # [B, K, P, P] uint8
+    b, k = patches.shape[:2]
+
+    mx, my = _moment_masks(orientation_radius)
+    pf = patches.astype(jnp.float32)
+    m10 = jnp.einsum("bkpq,pq->bk", pf, jnp.asarray(mx))
+    m01 = jnp.einsum("bkpq,pq->bk", pf, jnp.asarray(my))
+    angle = jnp.arctan2(m01, m10)
+
+    idx1, idx2 = _rotated_index_tables(n_bits, pattern_radius)
+    flat = patches.reshape(b, k, PATCH * PATCH)
+    # static-index sampling for ALL bins at once (uint8): [B, K, bins, n_bits]
+    v1 = flat[:, :, jnp.asarray(idx1)]
+    v2 = flat[:, :, jnp.asarray(idx2)]
+    bits_all = (v1 < v2).reshape(b * k, N_ANGLE_BINS, n_bits)
+
+    bin_f = (angle % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * N_ANGLE_BINS
+    bin_i = jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS
+    # per-keypoint bin row via ONE flat vmap of sliced-DMA rows
+    bits = jax.vmap(
+        lambda ba, bi: jax.lax.dynamic_slice(ba, (bi, 0), (1, ba.shape[1]))[0]
+    )(bits_all, bin_i.reshape(-1))
+
+    words = n_bits // 32
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    packed = jnp.sum(
+        bits.astype(jnp.uint32).reshape(b, k, words, 32) << shifts[None, None, None, :],
+        axis=-1,
+    ).astype(jnp.uint32)
+    return Descriptors(bits=packed, angle=angle, valid=kp_valid)
 
 
 def describe_orb(
@@ -103,36 +161,10 @@ def describe_orb(
     blur_sigma: float = 2.0,
     orientation_radius: int = 15,
 ) -> Descriptors:
-    """Compute steered-BRIEF descriptors for a fixed-K keypoint set on one [H, W] image."""
-    # uint8 smoothed image (as in OpenCV's ORB): keeps all descriptor intermediates
-    # 4x smaller than f32, which matters at large window batches.
-    smooth = jnp.clip(gaussian_blur(gray, blur_sigma), 0, 255).astype(jnp.uint8)
-    patches = extract_patches(smooth, kps)  # [K, P, P] uint8
-    k = patches.shape[0]
-
-    mx, my = _moment_masks(orientation_radius)
-    pf = patches.astype(jnp.float32)
-    m10 = jnp.einsum("kpq,pq->k", pf, jnp.asarray(mx))
-    m01 = jnp.einsum("kpq,pq->k", pf, jnp.asarray(my))
-    angle = jnp.arctan2(m01, m10)
-
-    idx1, idx2 = _rotated_index_tables(n_bits, pattern_radius)
-    flat = patches.reshape(k, PATCH * PATCH)
-    # static-index sampling for ALL bins at once (uint8): [K, bins, n_bits]
-    v1 = flat[:, jnp.asarray(idx1)]
-    v2 = flat[:, jnp.asarray(idx2)]
-    bits_all = (v1 < v2)  # bool [K, bins, n_bits]
-
-    bin_f = (angle % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * N_ANGLE_BINS
-    bin_i = jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS
-    # per-keypoint bin row via sliced-DMA (no one-hot einsum, no f32 materialization)
-    bits = jax.vmap(
-        lambda ba, b: jax.lax.dynamic_slice(ba, (b, 0), (1, ba.shape[1]))[0]
-    )(bits_all, bin_i)
-
-    words = n_bits // 32
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    packed = jnp.sum(
-        bits.astype(jnp.uint32).reshape(-1, words, 32) << shifts[None, None, :], axis=-1
-    ).astype(jnp.uint32)
-    return Descriptors(bits=packed, angle=angle, valid=kps.valid)
+    """Single-image wrapper over describe_orb_batch (fixed-K keypoint set)."""
+    d = describe_orb_batch(
+        gray[None], kps.xy[None], kps.valid[None],
+        n_bits=n_bits, pattern_radius=pattern_radius,
+        blur_sigma=blur_sigma, orientation_radius=orientation_radius,
+    )
+    return Descriptors(bits=d.bits[0], angle=d.angle[0], valid=d.valid[0])

@@ -10,9 +10,12 @@
 Run: env JAX_PLATFORMS=cpu python tools/psnr_decompose.py [n_frames]
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VIDEO = "/root/reference/Data/поиски квадрокоптера 2 (360p) 01.mp4"
 
