@@ -113,6 +113,14 @@ _STEP_CACHE: dict = {}
 _FEATURE_CACHE: dict = {}
 
 
+def _use_pallas_warp() -> bool:
+    """Pallas paint tier only on real TPU (interpret mode is far too slow for
+    the CPU test backend; the XLA two-pass tier is the CPU path)."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def get_feature_fn(cfg: MosaicConfig):
     if cfg not in _FEATURE_CACHE:
         _FEATURE_CACHE[cfg] = jax.jit(
@@ -209,9 +217,12 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
             hcount = jnp.where(ok_r, hcount2, hcount)
             H_abs = jnp.where(ok_r, H_old @ H_s, H_old)
             tp_ok = warp_ops.two_pass_regime_ok(H_abs, hc, wc)
-            return (H_abs, hbuf, hcount), (H_abs, ok, ok_r, tp_ok)
+            pl_ok = warp_ops.pallas_regime_ok(
+                H_abs, hc, wc, frame_shape[0], frame_shape[1]
+            )
+            return (H_abs, hbuf, hcount), (H_abs, ok, ok_r, tp_ok, pl_ok)
 
-        (H_old, hbuf, hcount), (H_abs_seq, ok_seq, blended_seq, tp_seq) = jax.lax.scan(
+        (H_old, hbuf, hcount), (H_abs_seq, ok_seq, blended_seq, tp_seq, pl_seq) = jax.lax.scan(
             pre_body, (state.H_old, state.hbuf, state.hcount), (H_rels, r_ok)
         )
 
@@ -244,13 +255,28 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
 
             return run
 
+        # Tiered warp selection, one cond per window: the Pallas fused kernel
+        # (~0.15 ms/frame) in its regime, the XLA two-pass (~2 ms) when only
+        # the shear bound fails, the exact gather (~10x two-pass) otherwise.
         all_two_pass = jnp.all(tp_seq | ~blended_seq)
-        canvas, union = jax.lax.cond(
+        xla_tiers = lambda operand: jax.lax.cond(
             all_two_pass,
             paint_scan(lambda f, h: warp_ops.warp_two_pass(f, h, hc, wc)),
             paint_scan(lambda f, h: warp_ops._warp_gather_cm(f, h, hc, wc)),
-            operand=(state.canvas, state.union_coarse),
+            operand,
         )
+        if _use_pallas_warp():
+            from rtvm_tpu.ops.pallas_warp import warp_two_pass_pallas
+
+            all_pallas = jnp.all(pl_seq | ~blended_seq)
+            canvas, union = jax.lax.cond(
+                all_pallas,
+                paint_scan(lambda f, h: warp_two_pass_pallas(f, h, hc, wc)),
+                xla_tiers,
+                (state.canvas, state.union_coarse),
+            )
+        else:
+            canvas, union = xla_tiers((state.canvas, state.union_coarse))
 
         # last ACCEPTED frame's features become the next matching target
         any_ok = jnp.any(blended_seq)

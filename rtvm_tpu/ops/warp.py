@@ -316,6 +316,37 @@ def two_pass_regime_ok(H: jnp.ndarray, out_h: int, out_w: int, rb: int = 16) -> 
     return jnp.all(jnp.isfinite(H)) & jnp.all(jnp.isfinite(G)) & persp_ok & slope_ok
 
 
+def pallas_regime_ok(H: jnp.ndarray, out_h: int, out_w: int, hf: int, wf: int) -> jnp.ndarray:
+    """Regime for the Pallas fused warp kernel (ops/pallas_warp.py): the XLA
+    two-pass regime PLUS a shear bound — the kernel shares one 5-tap window per
+    RB-row block with no per-row anchor, so |du/dy| (pass 1) and |dv/dX|
+    (pass 2) must keep positions within ~3px across a block."""
+    from rtvm_tpu.ops import pallas_warp as PW
+
+    base = two_pass_regime_ok(H, out_h, out_w)
+    G = jnp.linalg.inv(H)
+
+    def u(y, X):
+        num = (H[0, 1] * y + H[0, 2]) - X * (H[2, 1] * y + H[2, 2])
+        den = H[2, 0] * X - H[0, 0]
+        return num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+
+    def v(X, Y):
+        den = G[2, 0] * X + G[2, 1] * Y + G[2, 2]
+        return (G[1, 0] * X + G[1, 1] * Y + G[1, 2]) / jnp.where(
+            jnp.abs(den) < 1e-9, 1e-9, den
+        )
+
+    shear_max = 2.5 / (PW.RB - 1)
+    du_dy = jnp.max(jnp.stack(
+        [jnp.abs(u(y + 1.0, X) - u(y, X)) for y in (0.0, float(hf)) for X in (0.0, float(out_w))]
+    ))
+    dv_dx = jnp.max(jnp.stack(
+        [jnp.abs(v(X + 1.0, Y) - v(X, Y)) for X in (0.0, float(out_w)) for Y in (0.0, float(out_h))]
+    ))
+    return base & (du_dy < shear_max) & (dv_dx < shear_max)
+
+
 def _blend_cm(canvas, canvas_weight, new_px, w_new) -> BlendedCanvas:
     """Feathered composite (channel-major [3, Hc, Wc] canvas) of a warped frame
     (new_px [3, Hc, Wc], weight w_new [Hc, Wc], 0 = no content) — elementwise only."""
