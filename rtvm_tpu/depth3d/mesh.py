@@ -8,8 +8,12 @@ directly:
   single-image and terrain pipelines (every pixel IS a height sample; Poisson would
   only blur it). Depth-discontinuity edges are dropped via a jump threshold.
 - `heightfield_mesh_from_points`: rasterize a cloud into a height grid (mean z per
-  cell, hole-filled) and triangulate — the cloud-to-mesh path used where the
-  reference ran Poisson over fused clouds.
+  cell, hole-filled) and triangulate — right for terrain-like clouds with one
+  surface sample per vertical column.
+- `surface_mesh_from_points`: dispatcher — detects whether a cloud is
+  heightfield-like and otherwise routes to the volumetric smoothed-indicator
+  reconstruction in tsdf.py (the Poisson replacement; watertight output for closed
+  clouds such as the multi-view 360-degree fusion, depth_to_3d.py:996-1175).
 """
 
 from __future__ import annotations
@@ -64,6 +68,53 @@ def depth_grid_mesh(
     if image_bgr is not None:
         colors = image_bgr[::stride, ::stride].reshape(-1, 3)[:, ::-1].copy()
     return verts, faces, colors
+
+
+def cloud_is_heightfield(points: np.ndarray, grid: int = 48, spread_frac: float = 0.25,
+                         cell_frac: float = 0.10) -> bool:
+    """True when the cloud has essentially one surface sample per vertical column.
+
+    Rasterizes xy at coarse resolution and measures the fraction of occupied cells
+    whose z-extent exceeds spread_frac of the cloud's total z-span — closed or
+    multi-view clouds (top AND bottom surfaces in the same column) blow past it.
+    """
+    pts = np.asarray(points)
+    if len(pts) < 16:
+        return True
+    mn, mx = pts.min(0), pts.max(0)
+    span = np.maximum(mx - mn, 1e-9)
+    gx = np.clip(((pts[:, 0] - mn[0]) / span[0] * (grid - 1)).astype(int), 0, grid - 1)
+    gy = np.clip(((pts[:, 1] - mn[1]) / span[1] * (grid - 1)).astype(int), 0, grid - 1)
+    cell = gy * grid + gx
+    z = pts[:, 2]
+    zmin = np.full(grid * grid, np.inf)
+    zmax = np.full(grid * grid, -np.inf)
+    np.minimum.at(zmin, cell, z)
+    np.maximum.at(zmax, cell, z)
+    occ = np.isfinite(zmin)
+    spread = (zmax[occ] - zmin[occ]) / span[2]
+    return float((spread > spread_frac).mean()) < cell_frac
+
+
+def surface_mesh_from_points(
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    grid: int = 128,
+    method: str = "auto",
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Cloud -> mesh with automatic method choice.
+
+    method: 'heightfield' | 'indicator' | 'auto'. Auto picks heightfield for
+    terrain-like clouds and the volumetric indicator level-set (tsdf.py) for
+    everything else — the reference's Poisson path (depth_to_3d.py:377-422).
+    """
+    if method == "auto":
+        method = "heightfield" if cloud_is_heightfield(points) else "indicator"
+    if method == "indicator":
+        from rtvm_tpu.depth3d.tsdf import indicator_mesh_from_points
+
+        return indicator_mesh_from_points(points, colors, grid=min(grid, 96))
+    return heightfield_mesh_from_points(points, colors, grid=grid)
 
 
 def heightfield_mesh_from_points(

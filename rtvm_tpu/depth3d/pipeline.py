@@ -19,7 +19,7 @@ import numpy as np
 
 from rtvm_tpu.depth3d.estimator import MonocularDepthEstimator
 from rtvm_tpu.depth3d.icp import register_clouds
-from rtvm_tpu.depth3d.mesh import depth_grid_mesh, heightfield_mesh_from_points
+from rtvm_tpu.depth3d.mesh import depth_grid_mesh, surface_mesh_from_points
 from rtvm_tpu.depth3d.pointcloud import (
     remove_statistical_outliers,
     rotate_points,
@@ -75,7 +75,7 @@ def process_video_to_3d_model(
     cloud_path = os.path.join(out_dir, f"{base}_pointcloud.ply")
     write_ply_points(cloud_path, merged_pts, merged_cols)
 
-    verts, faces, vcols = heightfield_mesh_from_points(merged_pts, merged_cols)
+    verts, faces, vcols = surface_mesh_from_points(merged_pts, merged_cols)
     verts = rotate_points(verts, "x", np.pi)  # reference flips the mesh upright
     mesh_obj = os.path.join(out_dir, f"{base}_mesh.obj")
     mesh_ply = os.path.join(out_dir, f"{base}_mesh.ply")
@@ -217,7 +217,10 @@ def process_multiple_images_to_3d(
 
     cloud_path = os.path.join(out_dir, "multi_view_pointcloud.ply")
     write_ply_points(cloud_path, merged, mcols)
-    verts, faces, vcols = heightfield_mesh_from_points(merged, mcols)
+    # 360-degree fusion clouds are not heightfields: volumetric reconstruction
+    # (smoothed-indicator level set, the Poisson stand-in) unless auto detects a
+    # flat scan.
+    verts, faces, vcols = surface_mesh_from_points(merged, mcols)
     write_obj_mesh(os.path.join(out_dir, "multi_view_mesh.obj"), verts, faces)
     write_ply_mesh(os.path.join(out_dir, "multi_view_mesh.ply"), verts, faces, vcols)
     return {"cloud": cloud_path, "points": merged, "angles": angles}

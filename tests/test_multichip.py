@@ -1,0 +1,162 @@
+"""Multi-device sharding tests (SURVEY.md section 2.7).
+
+conftest.py forces the CPU backend with 8 virtual devices, so the (dp, tp) mesh in
+rtvm_tpu/parallel/mesh.py is exercised inside the normal pytest run — a regression in
+the sharded window step or the sharded YOLO train step fails here, not only at the
+driver's dryrun_multichip gate.
+
+Parity contract: sharding is a layout annotation, not a semantic change — the sharded
+step must produce the same canvas / loss as the single-device step up to float
+reassociation noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rtvm_tpu.config import FeatureConfig, MosaicConfig
+from rtvm_tpu.mosaic import stitcher as S
+from rtvm_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices (conftest XLA_FLAGS)"
+)
+
+
+def _tiny_mosaic(rng, h=64, w=128, b=8):
+    cfg = MosaicConfig(
+        window_size=b,
+        output_height_times=2.0,
+        output_width_times=1.25,
+        features=FeatureConfig(detector_type="orb", max_keypoints=64, border_margin=8),
+    )
+    first = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+    # Shift the same texture slightly per frame so matching has real signal.
+    base = rng.randint(0, 255, (h + b, w + b, 3), dtype=np.uint8)
+    frames = np.stack([base[i : i + h, i : i + w] for i in range(b)])
+    return cfg, base[0:h, 0:w].copy(), frames
+
+
+def _mosaic_shardings(mesh):
+    repl = NamedSharding(mesh, P())
+    return (
+        S.MosaicState(
+            canvas=NamedSharding(mesh, P(None, "tp", None)),
+            union_coarse=NamedSharding(mesh, P("tp", None)),
+            H_old=repl,
+            kp=repl,
+            desc=repl,
+            kp_valid=repl,
+            hbuf=repl,
+            hcount=repl,
+            frame_idx=repl,
+        ),
+        S.WindowAux(
+            num_matches=repl, num_inliers=repl, H_abs=repl, ok=repl,
+            blended=repl, two_pass=repl,
+        ),
+        repl,
+    )
+
+
+def test_sharded_window_step_matches_single_device():
+    rng = np.random.RandomState(7)
+    cfg, first, frames = _tiny_mosaic(rng)
+    h, w, _ = first.shape
+
+    m = S.VideMosaic(first, detector_type="orb", config=cfg)
+    step_py = S.make_window_step((h, w, 3), cfg).__wrapped__
+
+    # Single-device reference.
+    ref_state, ref_aux = jax.jit(step_py)(
+        m.state, jnp.asarray(frames), m._key, m._fweight, m._wtable
+    )
+    jax.block_until_ready(ref_state.canvas)
+
+    mesh = make_mesh(8)
+    state_sh, aux_sh, repl = _mosaic_shardings(mesh)
+    step = jax.jit(
+        step_py,
+        in_shardings=(state_sh, NamedSharding(mesh, P("dp", None, None, None)), repl, repl, repl),
+        out_shardings=(state_sh, aux_sh),
+    )
+    st = jax.device_put(m.state, state_sh)
+    fr = jax.device_put(jnp.asarray(frames), NamedSharding(mesh, P("dp", None, None, None)))
+    new_state, aux = step(
+        st, fr, m._key, jax.device_put(m._fweight, repl), jax.device_put(m._wtable, repl)
+    )
+    jax.block_until_ready(new_state.canvas)
+
+    assert new_state.canvas.sharding.spec == P(None, "tp", None)
+    assert int(new_state.frame_idx) == int(ref_state.frame_idx)
+    np.testing.assert_array_equal(np.asarray(aux.ok), np.asarray(ref_aux.ok))
+    # Same homographies (matching/RANSAC is per-frame independent of sharding).
+    np.testing.assert_allclose(
+        np.asarray(aux.H_abs), np.asarray(ref_aux.H_abs), rtol=1e-4, atol=1e-4
+    )
+    # Canvas parity up to float reassociation across the tp collective boundary.
+    ref_c = np.asarray(ref_state.canvas, np.float32)
+    got_c = np.asarray(new_state.canvas, np.float32)
+    assert np.mean(np.abs(ref_c - got_c)) < 0.5
+    assert np.max(np.abs(ref_c - got_c)) <= 2.0
+
+
+def test_sharded_yolo_train_step_matches_single_device():
+    import optax
+
+    from rtvm_tpu.models.yolo.model import build_yolo
+    from rtvm_tpu.models.yolo.train import Targets, init_train_state, make_train_step
+
+    model, variables = build_yolo("yolov8n", num_classes=8, imgsz=64)
+    state, tx = init_train_state(model, variables)
+    raw_step = make_train_step(model, tx)
+
+    rngn = np.random.RandomState(0)
+    b = 8
+    images = jnp.asarray(rngn.rand(b, 64, 64, 3).astype(np.float32))
+    targets = Targets(
+        boxes=jnp.asarray(
+            np.tile(
+                np.array([[8.0, 8.0, 40.0, 40.0], [20.0, 24.0, 56.0, 60.0]], np.float32)[None],
+                (b, 1, 1),
+            )
+        ),
+        classes=jnp.zeros((b, 2), jnp.int32),
+        valid=jnp.ones((b, 2), bool),
+    )
+
+    ref_state, ref_metrics = jax.jit(raw_step)(state, images, targets)
+    ref_loss = float(ref_metrics["loss"])
+
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    img_sh = NamedSharding(mesh, P("dp", "tp", None, None))
+
+    def sharded_step(st, imgs, tg):
+        imgs = jax.lax.with_sharding_constraint(imgs, img_sh)
+        return raw_step(st, imgs, tg)
+
+    st = jax.device_put(state, repl)
+    imgs = jax.device_put(images, img_sh)
+    new_state, metrics = jax.jit(sharded_step)(st, imgs, targets)
+    jax.block_until_ready(new_state.params)
+
+    assert int(new_state.step) == 1
+    assert abs(float(metrics["loss"]) - ref_loss) < 1e-2 * max(1.0, abs(ref_loss))
+    # Updated parameters agree leaf-wise within collective-reassociation noise.
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
+    got_leaves = jax.tree_util.tree_leaves(new_state.params)
+    worst = max(
+        float(jnp.max(jnp.abs(a - b))) for a, b in zip(ref_leaves, got_leaves)
+    )
+    assert worst < 5e-2, worst
+
+
+def test_shard_batch_places_on_dp():
+    mesh = make_mesh(8)
+    x = jnp.zeros((8, 4, 4))
+    y = shard_batch(mesh, x)
+    assert y.sharding.spec == P("dp", None, None)
