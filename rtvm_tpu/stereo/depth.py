@@ -21,10 +21,17 @@ class StereoDepthEstimator:
         baseline_m: float = 0.12,
         focal_px: float = 700.0,
         num_disparities: int = 128,
+        use_wls: bool = True,
+        use_speckle: bool = True,
     ):
         self.baseline = baseline_m
         self.focal = focal_px
         self.num_disparities = num_disparities
+        # Post-filters mirror the reference's SGBM+WLS mode (stereo_depth.py:76-99,
+        # wls lambda 8000 / sigma 1.5) and its speckle filtering; disable both to
+        # get the raw-SGM equivalent of its BM mode.
+        self.use_wls = use_wls
+        self.use_speckle = use_speckle
         self.calibrated = False
         self.maps = None  # rectification maps after calibration
         self.Q = None
@@ -93,7 +100,16 @@ class StereoDepthEstimator:
         gl = color.bgr2gray(jnp.asarray(left_bgr))
         gr = color.bgr2gray(jnp.asarray(right_bgr))
         res = sgm_disparity(gl, gr, self.num_disparities)
-        return np.asarray(res.disparity)
+        disp = res.disparity
+        if self.use_speckle:
+            from rtvm_tpu.stereo.refine import speckle_suppress
+
+            disp = speckle_suppress(disp)
+        if self.use_wls:
+            from rtvm_tpu.stereo.refine import guided_refine
+
+            disp = guided_refine(disp, gl)
+        return np.asarray(disp)
 
     def disparity_to_depth(self, disparity: np.ndarray) -> np.ndarray:
         return disparity_to_depth(disparity, self.focal, self.baseline)
