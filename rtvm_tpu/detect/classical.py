@@ -35,14 +35,20 @@ def _building_masks(img: jnp.ndarray):
     return roof_clean, edges
 
 
-def detect_buildings_classical(image_bgr: np.ndarray) -> List[dict]:
+def detect_buildings_classical(
+    image_bgr: np.ndarray, debug_path: "str | None" = None
+) -> List[dict]:
     """Gray-roof building candidates via mask -> watershed -> contour filters
-    (parity with reference main.py:466-577 thresholds)."""
+    (parity with reference main.py:466-577 thresholds). debug_path, when set,
+    receives the separated-buildings mask (the reference writes
+    debug_watershed.jpg unconditionally at main.py:531)."""
     import cv2
 
     h, w = image_bgr.shape[:2]
     roof, edges = _building_masks(jnp.asarray(image_bgr))
     mask = (np.asarray(roof) & ~np.asarray(edges)).astype(np.uint8) * 255
+    if debug_path:
+        cv2.imwrite(debug_path, mask)
 
     # watershed split of touching roofs (host-side)
     dist = cv2.distanceTransform(mask, cv2.DIST_L2, 5)

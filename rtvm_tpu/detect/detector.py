@@ -169,8 +169,15 @@ class ObjectDetector:
             [int(v) for v in d["bbox"]] for d in dets if d["class"] == "person"
         ]
 
-    def detect_objects(self, image: np.ndarray, window_threshold: int = 800) -> List[dict]:
-        """Multi-pass detection with dedup + filters (reference main.py:149-464)."""
+    def detect_objects(
+        self,
+        image: np.ndarray,
+        window_threshold: int = 800,
+        debug_dir: Optional[str] = None,
+    ) -> List[dict]:
+        """Multi-pass detection with dedup + filters (reference main.py:149-464).
+        debug_dir receives debug_watershed.jpg from the classical stage (the
+        reference dumps it unconditionally into cwd, main.py:531)."""
         from rtvm_tpu.ops.clahe import enhance_for_detection
 
         h, w = image.shape[:2]
@@ -209,7 +216,8 @@ class ObjectDetector:
         filtered = self._area_filter(deduped, h, w)
 
         # classical detectors merged with tighter dedup (main.py:436-464)
-        classical = detect_buildings_classical(image) + detect_vehicles_classical(image)
+        dbg = os.path.join(debug_dir, "debug_watershed.jpg") if debug_dir else None
+        classical = detect_buildings_classical(image, debug_path=dbg) + detect_vehicles_classical(image)
         for cd in classical:
             if not any(
                 _iou(cd["bbox"], d["bbox"]) > 0.3 or _center_dist(cd["bbox"], d["bbox"]) < 25

@@ -414,6 +414,12 @@ class VideMosaic:
         frames = jnp.asarray(frames, jnp.uint8)
         step = self._get_step(int(frames.shape[0]))
         self.state, aux = step(self.state, frames, self._key, self._fweight, self._wtable)
+        if self.output_dir and (self.visualize or self.show_intermediate):
+            # Throttled: a full-canvas device->host pull per window would stall the
+            # TPU pipeline; every 4th window is plenty for progress monitoring.
+            self._windows_seen = getattr(self, "_windows_seen", 0) + 1
+            if self._windows_seen % 4 == 1:
+                self._dump_intermediate(np.asarray(frames), aux)
         return aux
 
     def process_frame(self, frame_cur, frame_count: int = 0) -> bool:
@@ -439,6 +445,68 @@ class VideMosaic:
     def get_transformed_corners(self, frame, H) -> np.ndarray:
         h, w = np.asarray(frame).shape[:2]
         return np.asarray(geo.transform_corners(w, h, jnp.asarray(H, jnp.float32)))
+
+    @staticmethod
+    def draw_border(image: np.ndarray, corners: np.ndarray, color=(0, 0, 0), thickness: int = 5):
+        """Draw the warped frame's border polygon on the mosaic (reference
+        draw_border, main.py:952-977 — same closed-loop line order)."""
+        import cv2
+
+        c = np.asarray(corners).reshape(1, -1, 2).astype(int)
+        for i in range(c.shape[1] - 1, -1, -1):
+            cv2.line(image, tuple(c[0, i]), tuple(c[0, i - 1]), color=color, thickness=thickness)
+        return image
+
+    def render_matches(self, frame_prev: np.ndarray, frame_cur: np.ndarray) -> np.ndarray:
+        """cv2.drawMatches-style visualization of the current frame pair
+        (reference main.py:700-708): side-by-side images, lines between matched
+        keypoints. Recomputes features on the host path — debug-only cost."""
+        import cv2
+
+        from rtvm_tpu.ops import match as match_ops
+
+        kp_c, d_c, v_c = self._feature_fn(jnp.asarray(frame_cur))
+        kp_p, d_p, v_p = self._feature_fn(jnp.asarray(frame_prev))
+        m = _match_pair(d_c, v_c, d_p, v_p, self.config)
+        src, dst, valid = match_ops.gather_correspondences(kp_c, kp_p, m)
+        src, dst, valid = np.asarray(src), np.asarray(dst), np.asarray(valid)
+
+        h1, w1 = frame_cur.shape[:2]
+        h2, w2 = frame_prev.shape[:2]
+        canvas = np.zeros((max(h1, h2), w1 + w2, 3), np.uint8)
+        canvas[:h1, :w1] = frame_cur
+        canvas[:h2, w1:] = frame_prev
+        rng = np.random.RandomState(0)
+        for s, d in zip(src[valid], dst[valid]):
+            colr = tuple(int(v) for v in rng.randint(64, 255, 3))
+            p1 = (int(s[0]), int(s[1]))
+            p2 = (int(d[0]) + w1, int(d[1]))
+            cv2.circle(canvas, p1, 3, colr, 1)
+            cv2.circle(canvas, p2, 3, colr, 1)
+            cv2.line(canvas, p1, p2, colr, 1)
+        return canvas
+
+    def _dump_intermediate(self, frames: np.ndarray, aux: "WindowAux"):
+        """Per-window debug artifacts when show_intermediate/visualize are on and an
+        output_dir exists (headless stand-in for the reference's cv2.imshow windows,
+        main.py:700-708,751): mosaic_progress.jpg with the last frame's border, and
+        matches.jpg for the window's final frame pair."""
+        import os
+
+        import cv2
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        if self.show_intermediate:
+            img = self.output_img_u8.copy()
+            H_last = np.asarray(aux.H_abs)[-1]
+            corners = self.get_transformed_corners(frames[-1], H_last)
+            self.draw_border(img, corners)
+            cv2.imwrite(os.path.join(self.output_dir, "mosaic_progress.jpg"), img)
+        if self.visualize and len(frames) >= 2:
+            cv2.imwrite(
+                os.path.join(self.output_dir, "matches.jpg"),
+                self.render_matches(frames[-2], frames[-1]),
+            )
 
     @staticmethod
     def findHomography(src_pts: np.ndarray, dst_pts: np.ndarray, seed: int = 0):

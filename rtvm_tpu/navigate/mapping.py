@@ -56,14 +56,30 @@ def analyze_for_navigation(
     start_point: Optional[Tuple[int, int]] = None,
     grid_scale: int = 4,
     dilate_size: int = 15,
+    debug_dir: Optional[str] = None,
 ) -> np.ndarray:
-    """Build the navigation map overlay. Returns the rendered BGR image."""
+    """Build the navigation map overlay. Returns the rendered BGR image.
+    debug_dir receives debug_texture_mask.jpg (the reference dumps it
+    unconditionally into cwd, main.py:1213)."""
     import cv2
 
     h, w = image_bgr.shape[:2]
     out = image_bgr.copy()
     weights, nav_blocked = build_obstacle_masks(image_bgr, detections, dilate_size)
     nav_mask = nav_blocked.astype(np.uint8)
+
+    if debug_dir:
+        import os
+
+        import jax.numpy as jnp
+
+        from rtvm_tpu.navigate.obstacles import color_texture_masks
+
+        _, _, texture = color_texture_masks(jnp.asarray(image_bgr))
+        cv2.imwrite(
+            os.path.join(debug_dir, "debug_texture_mask.jpg"),
+            np.asarray(texture).astype(np.uint8) * 255,
+        )
 
     # red obstacle contours (area gate per reference main.py:1236-1246)
     cnts, _ = cv2.findContours(

@@ -35,6 +35,9 @@ def run_mosaic(
     timer: Optional[StageTimer] = None,
     per_frame_detector=None,
     detections_dir: Optional[str] = None,
+    show_intermediate: bool = False,
+    visualize: bool = False,
+    viz_dir: Optional[str] = None,
 ) -> tuple[VideMosaic, dict]:
     """Stitch a whole video. Returns (stitcher, stats).
 
@@ -54,7 +57,9 @@ def run_mosaic(
             output_width_times=config.output_width_times,
             detector_type=detector_type,
             config=config,
-            visualize=False,
+            show_intermediate=show_intermediate,
+            visualize=visualize,
+            output_dir=viz_dir if (show_intermediate or visualize) else None,
         )
 
     frame_count = 1
@@ -162,6 +167,10 @@ def main(
         timer=timer,
         per_frame_detector=det,
         detections_dir=os.path.join(out_dir, "Detections") if det else None,
+        # Headless stand-ins for the reference's cv2.imshow windows: per-window
+        # mosaic_progress.jpg / matches.jpg into the output dir (main.py:700-708).
+        show_intermediate=show_intermediate,
+        viz_dir=out_dir,
     )
     print(f"Скорость сшивки: {stats['fps']:.1f} кадров/с ({stats['frames']} кадров)")
 
@@ -178,7 +187,7 @@ def main(
             from rtvm_tpu.detect.detector import ObjectDetector
 
             det = ObjectDetector(model=config.detect.model)
-            detections = det.detect_objects(scaled)
+            detections = det.detect_objects(scaled, debug_dir=out_dir)
             stats["detections"] = len(detections)
             counts: dict = {}
             for d in detections:
@@ -192,7 +201,7 @@ def main(
         try:
             from rtvm_tpu.navigate.mapping import analyze_for_navigation
 
-            nav = analyze_for_navigation(scaled, detections)
+            nav = analyze_for_navigation(scaled, detections, debug_dir=out_dir)
             nav_path = os.path.join(out_dir, "navigation_map.jpg")
             cv2.imwrite(nav_path, nav)
             print(f"Карта навигации сохранена: {nav_path}")

@@ -57,6 +57,7 @@ def test_orb_descriptors_match_under_translation(textured_image):
     assert np.abs(med - np.array([-7.0, -4.0])).max() < 1.0
 
 
+@pytest.mark.slow
 def test_sift_detect_and_describe_match_under_shift(textured_image):
     cfg = FeatureConfig(detector_type="sift", max_keypoints=200, sift_octaves=3)
     g = np.asarray(_gray(textured_image))

@@ -21,9 +21,12 @@ from rtvm_tpu.mosaic import stitcher as S
 from rtvm_tpu.parallel.mesh import make_mesh, shard_batch
 
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices (conftest XLA_FLAGS)"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices (conftest XLA_FLAGS)"
+    ),
+]
 
 
 def _tiny_mosaic(rng, h=64, w=128, b=8):

@@ -8,6 +8,8 @@ import pytest
 
 from rtvm_tpu.config import FeatureConfig, MosaicConfig
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synthetic_video(tmp_path_factory):

@@ -108,3 +108,35 @@ def test_sift_path_stitches(scene):
     H = m.H_old
     assert abs(H[0, 2] - (m.h_offset + 2 * 5)) < 2.5
     assert abs(H[1, 2] - (m.w_offset + 2 * 3)) < 2.5
+
+
+def test_visualization_artifacts(scene, tmp_path):
+    """show_intermediate/visualize now actually render (round-1 verdict item):
+    mosaic_progress.jpg with the frame border + matches.jpg per window."""
+    frames = _synthetic_frames(scene, 5)
+    m = VideMosaic(
+        frames[0], detector_type="orb", config=_small_config(),
+        show_intermediate=True, visualize=True, output_dir=str(tmp_path),
+    )
+    m.process_window(np.stack(frames[1:]))
+    prog = tmp_path / "mosaic_progress.jpg"
+    match = tmp_path / "matches.jpg"
+    assert prog.exists() and match.exists()
+    img = cv2.imread(str(prog))
+    assert img is not None and img.shape[:2] == m.output_img_u8.shape[:2]
+    mimg = cv2.imread(str(match))
+    # side-by-side: twice the frame width
+    assert mimg.shape[1] == 2 * frames[0].shape[1]
+
+
+def test_draw_border_draws_closed_polygon(scene):
+    frames = _synthetic_frames(scene, 2)
+    m = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    img = np.full((200, 300, 3), 255, np.uint8)
+    corners = np.array([[[20, 20], [120, 25], [115, 150], [18, 140]]], np.int32)
+    out = m.draw_border(img, corners, color=(0, 0, 255))
+    # red pixels along all four edges
+    red = (out[..., 2] > 200) & (out[..., 0] < 80)
+    assert red.sum() > 300
+    for px, py in [(70, 22), (117, 90), (65, 145), (19, 80)]:
+        assert red[max(py - 4, 0) : py + 5, max(px - 4, 0) : px + 5].any()
