@@ -100,6 +100,19 @@ class ObjectDetector:
                     print(f"Предупреждение: не удалось загрузить веса {path}: {e}")
         self._infer_cache = {}
 
+        # Open-vocab companion (reference main.py:49-69: YOLO-World with the
+        # 17-prompt aerial vocabulary, used as the primary detector when loaded).
+        self.model_world = None
+        try:
+            from rtvm_tpu.models.yolo.world import YoloWorldDetector
+
+            w = YoloWorldDetector(base_detector=self, classes=C.AERIAL_CLASSES)
+            if w.is_open_vocab:
+                self.model_world = w
+                print("YOLO-World модель загружена для универсальной детекции объектов")
+        except Exception as e:
+            print(f"Предупреждение: не удалось загрузить YOLO-World: {e}")
+
     @staticmethod
     def _find_weights(model: str, ext: str = ".pt", suffix: str = "") -> Optional[str]:
         repo_weights = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "weights")
@@ -183,12 +196,20 @@ class ObjectDetector:
         h, w = image.shape[:2]
         all_dets: List[dict] = []
 
-        # pass (a): full frame, low confidence, large imgsz
-        all_dets += self._run_pass(image[None], imgsz=1280, conf=0.02, iou=0.5)[0]
+        # pass (a): full frame, low confidence, large imgsz. With the open-vocab
+        # model loaded it is the primary detector with TTA (reference
+        # main.py:164-177: model_world.predict(augment=True)).
+        if self.model_world is not None:
+            all_dets += self.model_world.predict(image, conf=0.02, iou=0.5, augment=True)
+        else:
+            all_dets += self._run_pass(image[None], imgsz=1280, conf=0.02, iou=0.5)[0]
 
-        # pass (b): CLAHE-enhanced frame
+        # pass (b): CLAHE-enhanced frame (main.py:193-200)
         enhanced = np.asarray(enhance_for_detection(jnp.asarray(image))).astype(np.uint8)
-        all_dets += self._run_pass(enhanced[None], imgsz=1280, conf=0.02, iou=0.5)[0]
+        if self.model_world is not None:
+            all_dets += self.model_world.predict(enhanced, conf=0.02, iou=0.5)
+        else:
+            all_dets += self._run_pass(enhanced[None], imgsz=1280, conf=0.02, iou=0.5)[0]
 
         # pass (c): sliding windows for large images
         if max(h, w) > window_threshold:

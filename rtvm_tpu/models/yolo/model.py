@@ -47,6 +47,40 @@ class YoloConfig:
     strides: Tuple[int, ...] = (8, 16, 32)
 
 
+def yolo_features(cfg: "YoloConfig", x, train: bool):
+    """CSP backbone -> SPPF -> PAN neck. Returns [n3, m4, m5] at strides 8/16/32.
+
+    Plain function called from inside a compact __call__ so YOLOv8 and the
+    open-vocab YOLOWorld (world.py) share one trunk; submodule creation order is
+    unchanged, so pre-refactor checkpoints keep loading."""
+    dm, wm, r = VARIANTS[cfg.variant]
+    c1, c2, c3, c4 = _ch(wm, 64), _ch(wm, 128), _ch(wm, 256), _ch(wm, 512)
+    c5 = _ch(wm * r, 512)
+
+    # Backbone
+    x = ConvBnSiLU(c1, 3, 2)(x, train)  # P1
+    x = ConvBnSiLU(c2, 3, 2)(x, train)  # P2
+    x = C2f(c2, _d(dm, 3), shortcut=True)(x, train)
+    x = ConvBnSiLU(c3, 3, 2)(x, train)  # P3
+    p3 = C2f(c3, _d(dm, 6), shortcut=True)(x, train)
+    x = ConvBnSiLU(c4, 3, 2)(p3, train)  # P4
+    p4 = C2f(c4, _d(dm, 6), shortcut=True)(x, train)
+    x = ConvBnSiLU(c5, 3, 2)(p4, train)  # P5
+    x = C2f(c5, _d(dm, 3), shortcut=True)(x, train)
+    p5 = SPPF(c5)(x, train)
+
+    # PAN neck
+    u4 = jnp.concatenate([_upsample2(p5), p4], axis=-1)
+    n4 = C2f(c4, _d(dm, 3))(u4, train)
+    u3 = jnp.concatenate([_upsample2(n4), p3], axis=-1)
+    n3 = C2f(c3, _d(dm, 3))(u3, train)  # -> stride 8
+    d4 = jnp.concatenate([ConvBnSiLU(c3, 3, 2)(n3, train), n4], axis=-1)
+    m4 = C2f(c4, _d(dm, 3))(d4, train)  # -> stride 16
+    d5 = jnp.concatenate([ConvBnSiLU(c4, 3, 2)(m4, train), p5], axis=-1)
+    m5 = C2f(c5, _d(dm, 3))(d5, train)  # -> stride 32
+    return [n3, m4, m5]
+
+
 class YOLOv8(nn.Module):
     cfg: YoloConfig
 
@@ -54,33 +88,8 @@ class YOLOv8(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: [B, H, W, 3] float (0..1 normalized). Returns (box_logits, cls_logits)
         per scale, NHWC."""
-        dm, wm, r = VARIANTS[self.cfg.variant]
-        c1, c2, c3, c4 = _ch(wm, 64), _ch(wm, 128), _ch(wm, 256), _ch(wm, 512)
-        c5 = _ch(wm * r, 512)
-
-        # Backbone
-        x = ConvBnSiLU(c1, 3, 2)(x, train)  # P1
-        x = ConvBnSiLU(c2, 3, 2)(x, train)  # P2
-        x = C2f(c2, _d(dm, 3), shortcut=True)(x, train)
-        x = ConvBnSiLU(c3, 3, 2)(x, train)  # P3
-        p3 = C2f(c3, _d(dm, 6), shortcut=True)(x, train)
-        x = ConvBnSiLU(c4, 3, 2)(p3, train)  # P4
-        p4 = C2f(c4, _d(dm, 6), shortcut=True)(x, train)
-        x = ConvBnSiLU(c5, 3, 2)(p4, train)  # P5
-        x = C2f(c5, _d(dm, 3), shortcut=True)(x, train)
-        p5 = SPPF(c5)(x, train)
-
-        # PAN neck
-        u4 = jnp.concatenate([_upsample2(p5), p4], axis=-1)
-        n4 = C2f(c4, _d(dm, 3))(u4, train)
-        u3 = jnp.concatenate([_upsample2(n4), p3], axis=-1)
-        n3 = C2f(c3, _d(dm, 3))(u3, train)  # -> stride 8
-        d4 = jnp.concatenate([ConvBnSiLU(c3, 3, 2)(n3, train), n4], axis=-1)
-        m4 = C2f(c4, _d(dm, 3))(d4, train)  # -> stride 16
-        d5 = jnp.concatenate([ConvBnSiLU(c4, 3, 2)(m4, train), p5], axis=-1)
-        m5 = C2f(c5, _d(dm, 3))(d5, train)  # -> stride 32
-
-        return DetectHead(self.cfg.num_classes, self.cfg.reg_max)([n3, m4, m5], train)
+        feats = yolo_features(self.cfg, x, train)
+        return DetectHead(self.cfg.num_classes, self.cfg.reg_max)(feats, train)
 
 
 def _upsample2(x):

@@ -230,8 +230,10 @@ def make_scene(
         name = AERIAL_CLASSES[cls]
         for _attempt in range(6):
             if name == "building":
-                w = rng.randint(36, min(110, size // 2))
-                h = rng.randint(30, min(100, size // 2))
+                # identical ranges at the 320px training size; shrunk on tiny
+                # test scenes so the placement range stays non-empty
+                w = rng.randint(min(36, size // 4), max(min(36, size // 4) + 1, min(110, size // 2)))
+                h = rng.randint(min(30, size // 4), max(min(30, size // 4) + 1, min(100, size // 2)))
                 m = max(w, h)
                 cx, cy = rng.randint(m // 2 + 2, size - m // 2 - 2, 2)
                 b = _render_building(cv2, rng, img, cx, cy, w, h) if not overlaps(
@@ -252,7 +254,9 @@ def make_scene(
                     [cx - sz * 2, cy - sz * 2, cx + sz * 2, cy + sz * 2]
                 ) else None
             elif name == "boat":
-                length = rng.randint(18, 40)
+                # margin below is length+4 on each side: clamp so tiny test
+                # scenes (size 64) keep a non-empty placement range
+                length = rng.randint(12, max(13, min(40, size // 2 - 5)))
                 cx, cy = rng.randint(length + 4, size - length - 4, 2)
                 b = _render_boat(cv2, rng, img, cx, cy, length) if not overlaps(
                     [cx - length * 2, cy - length * 2, cx + length * 2, cy + length * 2]

@@ -70,7 +70,6 @@ def yolo_loss(model: YOLOv8, variables, images, targets: Targets, train: bool = 
     """images [B, S, S, 3]; returns (loss, (batch_stats_updates, metrics))."""
     strides = model.cfg.strides
     reg_max = model.cfg.reg_max
-    nc = model.cfg.num_classes
 
     out, mutated = model.apply(
         variables, images, train=train, mutable=["batch_stats"] if train else []
@@ -89,19 +88,29 @@ def yolo_loss(model: YOLOv8, variables, images, targets: Targets, train: bool = 
         pcy = jnp.broadcast_to(cy[None, :, None], (b, h, w))
 
         tb = targets.boxes  # [B, M, 4]
+        bcx = (tb[..., 0] + tb[..., 2]) / 2
+        bcy = (tb[..., 1] + tb[..., 3]) / 2
         inside = (
             (pcx[..., None] > tb[:, None, None, :, 0])
             & (pcx[..., None] < tb[:, None, None, :, 2])
             & (pcy[..., None] > tb[:, None, None, :, 1])
             & (pcy[..., None] < tb[:, None, None, :, 3])
-            & targets.valid[:, None, None, :]
         )  # [B, H, W, M]
-        # scale gate: box size appropriate for this stride
+        # A box smaller than one cell can contain no anchor center at all; the
+        # cell whose center is nearest the box center is always a candidate too
+        # (crucial for ~8px 'person' objects at stride 8 — without it they are
+        # never assigned and the class never trains).
+        nearest = (jnp.abs(pcx[..., None] - bcx[:, None, None, :]) <= s / 2) & (
+            jnp.abs(pcy[..., None] - bcy[:, None, None, :]) <= s / 2
+        )
+        # scale gate: box size appropriate for this stride; the finest level has
+        # no lower bound so sub-2-stride objects still train.
         sz = jnp.sqrt(
             jnp.maximum(tb[..., 2] - tb[..., 0], 1) * jnp.maximum(tb[..., 3] - tb[..., 1], 1)
         )  # [B, M]
-        gate = (sz[:, None, None, :] >= s * 2) & (sz[:, None, None, :] < s * 16)
-        cand = inside & gate
+        lo = 0.0 if s == min(strides) else s * 2
+        gate = (sz[:, None, None, :] >= lo) & (sz[:, None, None, :] < s * 16)
+        cand = (inside | nearest) & gate & targets.valid[:, None, None, :]
         # each cell takes its smallest matching target
         area = jnp.maximum(tb[..., 2] - tb[..., 0], 1) * jnp.maximum(tb[..., 3] - tb[..., 1], 1)
         cost = jnp.where(cand, area[:, None, None, :], jnp.inf)
@@ -111,8 +120,9 @@ def yolo_loss(model: YOLOv8, variables, images, targets: Targets, train: bool = 
         tgt_box = jnp.take_along_axis(tb, tgt_idx[..., None].reshape(b, -1, 1), axis=1).reshape(b, h, w, 4)
         tgt_cls = jnp.take_along_axis(targets.classes, tgt_idx.reshape(b, -1), axis=1).reshape(b, h, w)
 
-        # classification: one-hot where assigned, zeros elsewhere
-        onehot = jax.nn.one_hot(tgt_cls, nc) * assigned[..., None]
+        # classification: one-hot where assigned, zeros elsewhere. Width follows
+        # the logits (closed-set: cfg.num_classes; world head: #prompts).
+        onehot = jax.nn.one_hot(tgt_cls, cl.shape[-1]) * assigned[..., None]
         cls_l = optax.sigmoid_binary_cross_entropy(cl, onehot).sum(-1)
         total_cls += cls_l.mean() * (h * w)
 

@@ -1,39 +1,279 @@
-"""Open-vocabulary detection surface (reference: YOLO-World 'yolov8x-worldv2.pt',
-main.py:51-66 with set_classes()).
+"""Open-vocabulary detection: text-conditioned YOLO head (reference: YOLO-World
+'yolov8x-worldv2.pt', main.py:51-66 with set_classes(), augmented passes at
+main.py:170-177).
 
-True open-vocabulary weights are not obtainable in this environment (the reference's
-checkpoint was stripped and there is no network egress), so this provides the same
-API on top of the standard detector: `set_classes` restricts/renames the output
-vocabulary through the canonical-name normalization table, matching how the reference
-pipeline consumes YOLO-World results (normalized class names + dedup + filters,
-main.py:278-349). When a real open-vocab checkpoint is supplied, the converter in
-weights.py and a text-embedding head can be slotted in behind the same interface.
+The reference's open-vocab checkpoint is stripped and there is no egress, so no
+CLIP text tower exists in this environment. The open-vocab mechanism is still real:
+
+- ``TextEncoder``: class names -> hashed character-trigram bags -> embedding-sum ->
+  MLP -> L2-normalized text embeddings. Trigram hashing gives related phrasings
+  ("car" / "cars" / "carpark") overlapping token sets, so unseen vocabulary lands
+  near trained vocabulary — a (weak but genuine) generalization mechanism, trained
+  jointly with the detector instead of frozen CLIP.
+- ``WorldHead``: the classification branch emits L2-normalized region embeddings;
+  class logits are the scaled cosine similarity region_embed @ text_embed.T, so
+  ``set_classes`` changes the computation itself (different text embeddings ->
+  different logits), not merely a post-hoc filter.
+- ``YoloWorldDetector.predict(augment=True)``: merges detections from the identity
+  and horizontally-flipped passes before NMS — the TTA the reference invokes via
+  ultralytics ``augment=True``.
+
+Training: train_world.py reuses the synthetic aerial scenes with per-step sampled
+prompt synonyms. Without a trained world checkpoint the detector degrades to the
+closed-set ObjectDetector restricted to the requested vocabulary (the round-1
+behavior, kept as fallback).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence, Tuple
 
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rtvm_tpu.detect.classes import AERIAL_CLASSES, normalize_class_name
+from rtvm_tpu.models.yolo.model import VARIANTS, YoloConfig, yolo_features
+
+TEXT_VOCAB = 2048  # trigram hash buckets
+TEXT_MAXLEN = 24  # trigrams per class name
+EMBED_DIM = 64
+
+
+def tokenize_names(names: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Class names -> (ids [C, T] int32, mask [C, T] float32) of hashed trigrams.
+
+    Deterministic (FNV-1a over lowercase ' name ' trigrams) so tokenization is a
+    pure host-side preprocessing step; embeddings live on device.
+    """
+    ids = np.zeros((len(names), TEXT_MAXLEN), np.int32)
+    mask = np.zeros((len(names), TEXT_MAXLEN), np.float32)
+    for i, raw in enumerate(names):
+        s = f" {str(raw).strip().lower()} "
+        grams = [s[j : j + 3] for j in range(max(len(s) - 2, 1))]
+        for t, g in enumerate(grams[:TEXT_MAXLEN]):
+            h = 2166136261
+            for ch in g.encode("utf-8"):
+                h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+            ids[i, t] = h % TEXT_VOCAB
+            mask[i, t] = 1.0
+    return ids, mask
+
+
+class TextEncoder(nn.Module):
+    dim: int = EMBED_DIM
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """[C, T] ids/mask -> [C, dim] L2-normalized text embeddings."""
+        e = nn.Embed(TEXT_VOCAB, self.dim)(ids)  # [C, T, D]
+        h = (e * mask[..., None]).sum(1) / jnp.maximum(mask.sum(1, keepdims=True), 1.0)
+        h = nn.silu(nn.Dense(self.dim * 2)(h))
+        h = nn.Dense(self.dim)(h)
+        return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-6)
+
+
+class WorldHead(nn.Module):
+    """Decoupled head: DFL box branch + region-embedding branch; class logits are
+    scaled cosine similarities against the text embeddings."""
+
+    reg_max: int = 16
+    dim: int = EMBED_DIM
+
+    @nn.compact
+    def __call__(self, feats, text_embeds, train: bool = False):
+        from rtvm_tpu.models.yolo.modules import ConvBnSiLU
+
+        box_outs, cls_outs = [], []
+        c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
+        c3 = max(feats[0].shape[-1], self.dim)
+        logit_scale = self.param("logit_scale", lambda k: jnp.asarray(10.0))
+        logit_bias = self.param("logit_bias", lambda k: jnp.asarray(-10.0))
+        for f in feats:
+            b = ConvBnSiLU(c2, 3)(f, train)
+            b = ConvBnSiLU(c2, 3)(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), dtype=f.dtype)(b)
+            c = ConvBnSiLU(c3, 3)(f, train)
+            c = ConvBnSiLU(c3, 3)(c, train)
+            emb = nn.Conv(self.dim, (1, 1), dtype=f.dtype)(c)
+            emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6)
+            logits = emb @ text_embeds.T.astype(emb.dtype) * logit_scale + logit_bias
+            box_outs.append(b)
+            cls_outs.append(logits)
+        return box_outs, cls_outs
+
+
+class YOLOWorld(nn.Module):
+    """Text-conditioned YOLOv8: shared trunk (model.yolo_features) + WorldHead.
+
+    __call__(x, ids, mask) so the vocabulary is a jit ARGUMENT — changing classes
+    never recompiles."""
+
+    cfg: YoloConfig
+    dim: int = EMBED_DIM
+
+    @nn.compact
+    def __call__(self, x, text_ids, text_mask, train: bool = False):
+        feats = yolo_features(self.cfg, x, train)
+        text = TextEncoder(self.dim)(text_ids, text_mask)
+        return WorldHead(self.cfg.reg_max, self.dim)(feats, text, train)
+
+
+def build_yolo_world(
+    variant: str = "yolov8n", imgsz: int = 320, seed: int = 0, dim: int = EMBED_DIM
+):
+    cfg = YoloConfig(variant=variant, num_classes=dim)  # num_classes unused by head
+    model = YOLOWorld(cfg, dim=dim)
+    ids, mask = tokenize_names(AERIAL_CLASSES[: 2])
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, imgsz, imgsz, 3), jnp.float32),
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        train=False,
+    )
+    return model, variables
 
 
 class YoloWorldDetector:
-    def __init__(self, base_detector=None, classes: Optional[List[str]] = None):
-        if base_detector is None:
-            from rtvm_tpu.detect.detector import ObjectDetector
+    """Reference-parity surface (main.py:51-66): set_classes + predict(augment=).
 
-            base_detector = ObjectDetector()
-        self.base = base_detector
-        self.classes = [normalize_class_name(c) for c in (classes or AERIAL_CLASSES)]
+    With a trained world checkpoint (weights/yolov8n_world.npz) the vocabulary
+    conditions the network itself; otherwise falls back to the closed-set
+    detector restricted to the requested names."""
+
+    def __init__(self, base_detector=None, classes: Optional[List[str]] = None,
+                 weights_path: Optional[str] = None, variant: str = "yolov8n"):
+        import os
+
+        self.variant = variant
+        self.model = None
+        self.variables = None
+        self._jit_run = None
+        path = weights_path or os.path.join("weights", f"{variant}_world.npz")
+        if os.path.exists(path):
+            from rtvm_tpu.utils.checkpoint import load_pytree_npz
+
+            self.model, variables = build_yolo_world(variant)
+            self.variables = load_pytree_npz(
+                path,
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
+            )
+        else:
+            if base_detector is None:
+                from rtvm_tpu.detect.detector import ObjectDetector
+
+                base_detector = ObjectDetector()
+            self.base = base_detector
+        self.classes: List[str] = []
+        self.set_classes(list(classes or AERIAL_CLASSES))
+
+    @property
+    def is_open_vocab(self) -> bool:
+        return self.model is not None
 
     def set_classes(self, classes: List[str]) -> None:
-        """Restrict the detection vocabulary (reference main.py:66)."""
+        """Change the detection vocabulary (reference main.py:66). With the world
+        model this re-tokenizes the prompts — the next forward pass computes
+        logits against the NEW text embeddings (no recompile: ids are jit args)."""
         self.classes = [normalize_class_name(c) for c in classes]
+        self._raw_classes = list(classes)
+        ids, mask = tokenize_names(self._raw_classes)
+        self._text_ids, self._text_mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    def _run_world(self, images_u8: np.ndarray, conf: float, iou: float) -> List[List[dict]]:
+        import functools
+
+        from rtvm_tpu.models.yolo import postprocess as pp
+
+        if self._jit_run is None:
+            model = self.model
+
+            @functools.partial(jax.jit, static_argnames=("conf", "iou"))
+            def run(variables, frames_u8, ids, mask, conf, iou):
+                x = frames_u8[..., ::-1].astype(jnp.float32) / 255.0
+                box_l, cls_l = model.apply(variables, x, ids, mask, train=False)
+                boxes, scores = pp.decode_predictions(
+                    [b.astype(jnp.float32) for b in box_l],
+                    [c.astype(jnp.float32) for c in cls_l],
+                    model.cfg.strides,
+                    model.cfg.reg_max,
+                )
+                return jax.vmap(lambda bx, sc: pp.nms_fixed(bx, sc, conf, iou))(boxes, scores)
+
+            self._jit_run = run
+        det = self._jit_run(
+            self.variables, jnp.asarray(images_u8), self._text_ids, self._text_mask,
+            conf=conf, iou=iou,
+        )
+        boxes, scores = np.asarray(det.boxes), np.asarray(det.scores)
+        cls, valid = np.asarray(det.classes), np.asarray(det.valid)
+        out: List[List[dict]] = []
+        for b in range(len(images_u8)):
+            out.append([
+                {"bbox": [float(v) for v in boxes[b, i]],
+                 "class": self.classes[int(cls[b, i])],
+                 "confidence": float(scores[b, i])}
+                for i in np.flatnonzero(valid[b])
+            ])
+        return out
 
     def predict(self, image: np.ndarray, conf: float = 0.02, imgsz: int = 1280,
-                iou: float = 0.5) -> List[dict]:
-        dets = self.base._run_pass(np.asarray(image)[None], imgsz=imgsz, conf=conf, iou=iou)[0]
-        allowed = set(self.classes)
-        return [d for d in dets if d["class"] in allowed]
+                iou: float = 0.5, augment: bool = False) -> List[dict]:
+        image = np.asarray(image)
+        if not self.is_open_vocab:
+            dets = self.base._run_pass(image[None], imgsz=imgsz, conf=conf, iou=iou)[0]
+            allowed = set(self.classes)
+            return [d for d in dets if d["class"] in allowed]
+
+        import cv2
+
+        h, w = image.shape[:2]
+        size = 320  # world model trains at 320
+        scale = size / max(h, w)
+        resized = cv2.resize(image, (int(round(w * scale)), int(round(h * scale))))
+        pad = np.zeros((size, size, 3), np.uint8)
+        pad[: resized.shape[0], : resized.shape[1]] = resized
+        batch = [pad]
+        if augment:
+            batch.append(pad[:, ::-1].copy())  # horizontal flip TTA (main.py:170-177)
+        dets_b = self._run_world(np.stack(batch), conf, iou)
+        dets = list(dets_b[0])
+        if augment:
+            for d in dets_b[1]:
+                x1, y1, x2, y2 = d["bbox"]
+                d = dict(d, bbox=[size - x2, y1, size - x1, y2])
+                dets.append(d)
+            dets = _merge_tta(dets, iou_th=0.55)
+        for d in dets:
+            d["bbox"] = [float(np.clip(v / scale, 0, [w, h, w, h][i]))
+                         for i, v in enumerate(d["bbox"])]
+        return dets
+
+
+def _merge_tta(dets: List[dict], iou_th: float = 0.55) -> List[dict]:
+    """Greedy same-class merge of TTA duplicates (confidence-weighted box mean)."""
+
+    def iou(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ar = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / max(ar, 1e-9)
+
+    dets = sorted(dets, key=lambda d: -d["confidence"])
+    out: List[dict] = []
+    for d in dets:
+        merged = False
+        for o in out:
+            if o["class"] == d["class"] and iou(o["bbox"], d["bbox"]) > iou_th:
+                wa, wb = o["confidence"], d["confidence"]
+                o["bbox"] = [(wa * a + wb * b) / (wa + wb) for a, b in zip(o["bbox"], d["bbox"])]
+                o["confidence"] = max(wa, wb)
+                merged = True
+                break
+        if not merged:
+            out.append(dict(d))
+    return out

@@ -1,0 +1,135 @@
+"""Open-vocabulary detection tests (reference main.py:51-66,170-177): the
+vocabulary must condition the model's computation, not just filter its output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvm_tpu.models.yolo.world import (
+    EMBED_DIM,
+    YOLOWorld,
+    _merge_tta,
+    build_yolo_world,
+    tokenize_names,
+)
+
+
+def test_tokenizer_deterministic_and_distinct():
+    ids1, m1 = tokenize_names(["car", "building"])
+    ids2, m2 = tokenize_names(["car", "building"])
+    np.testing.assert_array_equal(ids1, ids2)
+    assert not np.array_equal(ids1[0], ids1[1])
+    # related words share trigrams, unrelated words share almost none
+    a, _ = tokenize_names(["car"])
+    b, _ = tokenize_names(["cars"])
+    c, _ = tokenize_names(["greenhouse"])
+    inter_rel = len(set(a[0][a[0] > 0]) & set(b[0][b[0] > 0]))
+    inter_unrel = len(set(a[0][a[0] > 0]) & set(c[0][c[0] > 0]))
+    assert inter_rel > inter_unrel
+
+
+@pytest.fixture(scope="module")
+def world_model():
+    return build_yolo_world("yolov8n", imgsz=64)
+
+
+def test_vocabulary_changes_logits(world_model):
+    model, variables = world_model
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+
+    ids_a, m_a = tokenize_names(["car", "person"])
+    ids_b, m_b = tokenize_names(["building", "pool"])
+    _, cls_a = model.apply(variables, x, jnp.asarray(ids_a), jnp.asarray(m_a), train=False)
+    _, cls_b = model.apply(variables, x, jnp.asarray(ids_b), jnp.asarray(m_b), train=False)
+    # same shapes (2 prompts each), genuinely different logits
+    assert cls_a[0].shape == cls_b[0].shape
+    assert float(jnp.abs(cls_a[0] - cls_b[0]).max()) > 1e-4
+    # and box predictions are vocabulary-independent
+    box_a, _ = model.apply(variables, x, jnp.asarray(ids_a), jnp.asarray(m_a), train=False)
+    box_b, _ = model.apply(variables, x, jnp.asarray(ids_b), jnp.asarray(m_b), train=False)
+    np.testing.assert_allclose(np.asarray(box_a[0]), np.asarray(box_b[0]), atol=1e-6)
+
+
+def test_prompt_count_is_dynamic_no_recompile(world_model):
+    model, variables = world_model
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for names in (["car"], ["car", "bus", "tent"]):
+        ids, m = tokenize_names(names)
+        _, cls_l = model.apply(variables, x, jnp.asarray(ids), jnp.asarray(m), train=False)
+        assert cls_l[0].shape[-1] == len(names)
+
+
+@pytest.mark.slow
+def test_world_train_step_decreases_loss(world_model):
+    import optax
+
+    from rtvm_tpu.models.yolo.synth import BackgroundPool, make_batch
+    from rtvm_tpu.models.yolo.train import Targets, TrainState, yolo_loss
+    from rtvm_tpu.models.yolo.train_world import _WorldAdapter
+
+    model, variables = world_model
+    rng = np.random.RandomState(0)
+    bg = BackgroundPool(64, rng=rng)
+    imgs, boxes, cls, valid = make_batch(rng, bg, 2, 64)
+    ids, mask = tokenize_names(["person", "car", "truck", "bus", "building", "boat", "tent", "pool"])
+    adapter = _WorldAdapter(model, jnp.asarray(ids), jnp.asarray(mask))
+    tx = optax.adam(3e-3)
+    state = TrainState(variables["params"], variables.get("batch_stats", {}),
+                       tx.init(variables["params"]), jnp.int32(0))
+
+    @jax.jit
+    def step(st, images, tgt):
+        def loss_fn(p):
+            return yolo_loss(adapter, {"params": p, "batch_stats": st.batch_stats},
+                             images, tgt, train=True)
+
+        (loss, (mut, metrics)), g = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+        up, opt = tx.update(g, st.opt_state, st.params)
+        return TrainState(optax.apply_updates(st.params, up),
+                          mut.get("batch_stats", st.batch_stats), opt, st.step + 1), loss
+
+    images = jnp.asarray(imgs[..., ::-1].astype(np.float32) / 255.0)
+    tgt = Targets(jnp.asarray(boxes), jnp.asarray(cls), jnp.asarray(valid))
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, images, tgt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_merge_tta_merges_duplicates():
+    dets = [
+        {"bbox": [10, 10, 50, 50], "class": "car", "confidence": 0.9},
+        {"bbox": [12, 11, 52, 49], "class": "car", "confidence": 0.6},  # TTA twin
+        {"bbox": [12, 11, 52, 49], "class": "building", "confidence": 0.6},  # other class
+        {"bbox": [200, 200, 240, 240], "class": "car", "confidence": 0.5},
+    ]
+    out = _merge_tta(dets)
+    assert len(out) == 3
+    cars = [d for d in out if d["class"] == "car"]
+    assert len(cars) == 2
+    top = max(cars, key=lambda d: d["confidence"])
+    assert top["confidence"] == 0.9
+    assert 10 <= top["bbox"][0] <= 12  # confidence-weighted mean
+
+
+def test_tiny_object_assignment_reaches_finest_level():
+    """Round-2 fix: a sub-2-stride box (8px person) must be assigned somewhere
+    (it previously fell through every scale gate and never trained)."""
+    import optax
+
+    from rtvm_tpu.models.yolo.model import build_yolo
+    from rtvm_tpu.models.yolo.train import Targets, yolo_loss
+
+    model, variables = build_yolo("yolov8n", num_classes=8, imgsz=64)
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    # one 7x7 box — smaller than stride 8
+    tgt = Targets(
+        boxes=jnp.asarray([[[30.0, 30.0, 37.0, 37.0]]]),
+        classes=jnp.asarray([[0]], jnp.int32),
+        valid=jnp.asarray([[True]]),
+    )
+    _, (_, metrics) = yolo_loss(model, variables, images, tgt, train=False)
+    assert float(metrics["num_pos"]) >= 1.0
