@@ -98,3 +98,33 @@ def test_classical_vehicle_detector_finds_bright_blob(rng):
     assert len(dets) >= 1
     x1, y1, x2, y2 = dets[0]["bbox"]
     assert abs((x1 + x2) / 2 - 95) < 10 and abs((y1 + y2) / 2 - 97) < 10
+
+
+@pytest.mark.slow
+def test_trained_checkpoint_detection_quality():
+    """Round-1 verdict item 3: detection tests must assert QUALITY, not just
+    shapes. Gated on the trained synthetic-aerial checkpoint (weights/
+    yolov8n_aerial.npz, produced by models/yolo/train_synth.py on TPU)."""
+    import os
+
+    if not os.path.exists("weights/yolov8n_aerial.npz"):
+        pytest.skip("no trained checkpoint in this tree")
+
+    import jax.numpy as jnp
+
+    from rtvm_tpu.models.yolo.eval import evaluate_map
+    from rtvm_tpu.models.yolo.model import build_yolo
+    from rtvm_tpu.models.yolo.synth import AERIAL_CLASSES
+    from rtvm_tpu.models.yolo.train_synth import make_eval_set, predict_scenes
+    from rtvm_tpu.utils.checkpoint import load_pytree_npz
+
+    model, variables = build_yolo("yolov8n", num_classes=len(AERIAL_CLASSES), imgsz=320)
+    variables = load_pytree_npz(
+        "weights/yolov8n_aerial.npz",
+        {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
+    )
+    imgs, gtb, gtc = make_eval_set(n=16, size=320, seed=424242)  # unseen seed
+    dets = predict_scenes(model, variables, imgs, conf=0.25, bf16=False)
+    report = evaluate_map(dets, gtb, gtc, AERIAL_CLASSES)
+    assert report["mAP50"] >= 0.5, report
+    assert report["person"] >= 0.3, report  # tiny-object regression gate
