@@ -21,6 +21,16 @@ import numpy as np
 # numpy (not jnp) so importing this module never initializes a JAX backend
 EYE3 = np.eye(3, dtype=np.float32)
 
+# Small geometry matmuls MUST run at full f32 precision: the TPU default lowers
+# f32 matmuls to bf16 MXU passes, which rounds homography entries (measured
+# +-4 px on warped corner positions) and compounds across the per-frame
+# H_old @ H_rel chain.
+_P32 = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_P32)
+
 
 class RansacResult(NamedTuple):
     H: jnp.ndarray  # [3, 3] float32, maps src -> dst; identity on failure
@@ -73,7 +83,7 @@ def dlt_homography_4pt(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     a = _dlt_rows(sn, dn)  # [8, 9]
     h8 = jnp.linalg.solve(a[:, :8], -a[:, 8])
     hn = jnp.concatenate([h8, jnp.ones((1,), dtype=jnp.float32)]).reshape(3, 3)
-    H = jnp.linalg.inv(t_dst) @ hn @ t_src
+    H = _mm(_mm(jnp.linalg.inv(t_dst), hn), t_src)
     return H / H[2, 2]
 
 
@@ -88,10 +98,10 @@ def dlt_homography_weighted(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) 
     dn = project(t_dst, dst)
     a = _dlt_rows(sn, dn)  # [2K, 9]
     ww = jnp.concatenate([w, w])[:, None]
-    m = (a * ww).T @ a  # [9, 9] normal matrix
+    m = _mm((a * ww).T, a)  # [9, 9] normal matrix
     h8 = jnp.linalg.solve(m[:8, :8] + 1e-8 * jnp.eye(8), -m[:8, 8])
     hn = jnp.concatenate([h8, jnp.ones((1,), dtype=jnp.float32)]).reshape(3, 3)
-    H = jnp.linalg.inv(t_dst) @ hn @ t_src
+    H = _mm(_mm(jnp.linalg.inv(t_dst), hn), t_src)
     return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
 
 
@@ -215,7 +225,7 @@ def smooth_homography_step(
     hbuf = jnp.concatenate([hbuf[1:], H[None]], axis=0)
     hcount = jnp.minimum(hcount + 1, size)
     w = weight_table[hcount - 1]  # [S]
-    h_avg = jnp.einsum("s,sij->ij", w, hbuf)
+    h_avg = jnp.einsum("s,sij->ij", w, hbuf, precision=_P32)
     h_out = jnp.where(hcount < 2, H, h_avg)
     return hbuf, hcount, h_out
 

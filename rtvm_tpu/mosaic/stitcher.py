@@ -215,7 +215,11 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
                 hbuf2, hcount2, H_s = hbuf, hcount, H_v
             hbuf = jnp.where(ok_r, hbuf2, hbuf)
             hcount = jnp.where(ok_r, hcount2, hcount)
-            H_abs = jnp.where(ok_r, H_old @ H_s, H_old)
+            # full-precision compose: the TPU's default bf16 matmul rounding
+            # would compound across the 592-frame H chain (see geometry._mm)
+            H_abs = jnp.where(
+                ok_r, jnp.matmul(H_old, H_s, precision=jax.lax.Precision.HIGHEST), H_old
+            )
             tp_ok = warp_ops.two_pass_regime_ok(H_abs, hc, wc)
             pl_ok = warp_ops.pallas_regime_ok(
                 H_abs, hc, wc, frame_shape[0], frame_shape[1]
@@ -235,8 +239,11 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
                 canvas, union = carry
                 frame_cm, H_abs, ok_r = xs
                 new_px = warp_fn(frame_cm, H_abs)
-                w_new = warp_ops.analytic_frame_weight(
-                    H_abs, frame_cm.shape[1], frame_cm.shape[2], hc, wc
+                w_new = warp_ops.frame_weight_with_holes(
+                    new_px,
+                    warp_ops.analytic_frame_weight(
+                        H_abs, frame_cm.shape[1], frame_cm.shape[2], hc, wc
+                    ),
                 )
                 w_new = jnp.where(ok_r, w_new, 0.0)  # skipped frame -> no-op blend
                 # reference blend semantics: weights = distance transforms of the

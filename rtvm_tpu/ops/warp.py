@@ -61,15 +61,17 @@ CELL_PX = 4  # coarse union-occupancy cell size (px); 4px + exact EDT + half-cel
 
 
 def coarse_union_distance(union: jnp.ndarray, cell_px: float = float(CELL_PX)) -> jnp.ndarray:
-    """EXACT Euclidean distance (in pixels) from each cell of a coarse
+    """Distance (in pixels, cv2 chamfer-3x4 metric) from each cell of a coarse
     union-occupancy grid to the nearest non-union cell — the TPU counterpart of
     cv2.distanceTransform of the growing mosaic mask (reference main.py:888-890).
 
-    Felzenszwalb-style separable squared EDT, shaped for the TPU:
+    Felzenszwalb-style separable transform, shaped for the TPU:
       1. rows: 1D distance to the nearest non-union cell along each row via
          min-plus relaxation with descending power-of-two shifts (exact in 1D);
-      2. columns: D2[y, x] = min_v (drow[v, x]^2 + (y - v)^2) as one broadcast
-         add + min-reduce over v (XLA fuses it; no gather, no sort).
+      2. columns: D[y, x] = min_v chamfer(drow[v, x], y - v) as one broadcast
+         combine + min-reduce over v (XLA fuses it; no gather, no sort). The
+         separable form stays exact under the chamfer point metric because it
+         is monotone in the per-row horizontal distance.
     """
     gh, gw = union.shape
     big = jnp.float32(4.0 * max(gh, gw))
@@ -81,11 +83,11 @@ def coarse_union_distance(union: jnp.ndarray, cell_px: float = float(CELL_PX)) -
         d = jnp.minimum(d, _shift2d(d, 0, k, 0.0) + k)
         d = jnp.minimum(d, _shift2d(d, 0, -k, 0.0) + k)
         k //= 2
-    f = jnp.minimum(d, big) ** 2  # [Gh, Gw] squared row distances
+    f = jnp.minimum(d, big)  # [Gh, Gw] row distances (cells)
     v = jnp.arange(gh, dtype=jnp.float32)
-    ysq = (v[:, None] - v[None, :]) ** 2  # [Gh_y, Gh_v]
-    d2 = jnp.min(f[None, :, :] + ysq[:, :, None], axis=1)  # [Gh, Gw]
-    return jnp.sqrt(d2) * cell_px
+    dy = jnp.abs(v[:, None] - v[None, :])  # [Gh_y, Gh_v]
+    comb = _chamfer_pt(f[None, :, :], dy[:, :, None])  # [Gh_y, Gh_v, Gw]
+    return jnp.min(comb, axis=1) * cell_px
 
 
 class BlendedCanvas(NamedTuple):
@@ -378,19 +380,200 @@ def _warp_gather_cm(stack: jnp.ndarray, H: jnp.ndarray, out_h: int, out_w: int) 
     return jnp.where(inb[None], out, 0.0)
 
 
+# cv2.distanceTransform(DIST_L2, maskSize=3) is a 3x4 chamfer, not exact
+# Euclid: axis steps cost A, diagonal steps cost B. Matching the metric (not
+# just the geometry) is worth ~2 dB of blend fidelity vs the OpenCV oracle.
+CHAMFER_A = 0.955
+CHAMFER_B = 1.3693
+
+
+def _chamfer_pt(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
+    """cv2 chamfer-3x4 point metric: A*(max-min) + B*min of |dx|,|dy|."""
+    ax, ay = jnp.abs(dx), jnp.abs(dy)
+    big, sml = jnp.maximum(ax, ay), jnp.minimum(ax, ay)
+    return CHAMFER_A * (big - sml) + CHAMFER_B * sml
+
+
+def _seg_dist(px, py, x0, y0, x1, y1, valid):
+    """Chamfer distance from every grid point (px, py) to the segment
+    (x0,y0)-(x1,y1); +inf where `valid` is False. Endpoint scalars are traced.
+
+    Where the Euclidean foot falls inside the segment the chamfer distance to
+    the segment equals the chamfer distance to its LINE, r / h(n) with h the
+    support function of the chamfer unit octagon in the normal direction
+    (minimizing the point metric at the perpendicular foot instead would
+    overestimate by up to ~4.5%); off the ends it is the point metric to the
+    nearest endpoint."""
+    ex, ey = x1 - x0, y1 - y0
+    l2 = ex * ex + ey * ey
+    safe_l2 = jnp.maximum(l2, 1e-12)
+    t = ((px - x0) * ex + (py - y0) * ey) / safe_l2
+    tc = jnp.clip(t, 0.0, 1.0)
+    d_end = _chamfer_pt(px - (x0 + tc * ex), py - (y0 + tc * ey))
+    # line formula: |signed distance| / h_octagon(unit normal)
+    inv_len = jax.lax.rsqrt(safe_l2)
+    nx, ny = ey * inv_len, -ex * inv_len
+    anx, any_ = jnp.abs(nx), jnp.abs(ny)
+    h_oct = jnp.maximum(jnp.maximum(anx, any_) / CHAMFER_A, (anx + any_) / CHAMFER_B)
+    d_line = jnp.abs(nx * (px - x0) + ny * (py - y0)) / jnp.maximum(h_oct, 1e-12)
+    inside_seg = (t > 0.0) & (t < 1.0) & (l2 > 1e-12)
+    d = jnp.where(inside_seg, d_line, d_end)
+    return jnp.where(valid, d, jnp.inf)
+
+
 def analytic_frame_weight(H: jnp.ndarray, hf: int, wf: int, hc: int, wc: int) -> jnp.ndarray:
-    """w_new on the canvas grid, computed analytically: the distance from the
-    inverse-mapped source point to the frame border (the exact distanceTransform of
-    the warped frame mask in frame units) — elementwise, no 4th warp channel."""
-    hinv = jnp.linalg.inv(H)
+    """w_new on the canvas grid: the exact cv2.distanceTransform of the warped
+    frame mask (reference main.py:888), computed ANALYTICALLY instead of by
+    rasterize+EDT.
+
+    The warped mask is (convex quad Q = H*frame-rect) INTERSECTED with the
+    canvas array, and cv2's distance is to the nearest ZERO pixel, i.e. to
+    Z = canvas \\ Q = union over edges i of (outside half-plane O_i ∩ canvas).
+    dist(p, O_i ∩ canvas) for p in Q is the min distance to the 5 boundary
+    segments of that clipped half-plane: the chord (edge line clipped to the
+    canvas, Liang-Barsky) and the four canvas sides clipped to O_i. Crucially
+    this reproduces cv2's behavior on CLIPPED warps: an edge that falls outside
+    the canvas contributes no zeros, so distances keep growing past it —
+    the round-2 PSNR-decomposition showed that effect dominating the full-clip
+    blend error. Distances use cv2's chamfer-3x4 point metric (CHAMFER_A/B).
+
+    The INTER_LINEAR mask is nonzero wherever the inverse-mapped sample point
+    falls inside the SOURCE rect expanded by one source pixel (the bilinear
+    support), so the quad is built from the expanded source corners
+    (-1..wf, -1..hf) mapped through H, plus a half-pixel outward inflation for
+    the mean raster phase (zero pixel centers sit up to 1 px outside the
+    continuous boundary). Modeling the expansion in SOURCE space matters under
+    scale/rotation, and modeling it as geometry (not a scalar +1 on the
+    result) matters at canvas borders: a quad edge within a pixel of the
+    border contributes no zero pixels at all."""
     ys = jnp.arange(hc, dtype=jnp.float32)[:, None]
     xs = jnp.arange(wc, dtype=jnp.float32)[None, :]
-    den = hinv[2, 0] * xs + hinv[2, 1] * ys + hinv[2, 2]
-    den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-    sx = (hinv[0, 0] * xs + hinv[0, 1] * ys + hinv[0, 2]) / den
-    sy = (hinv[1, 0] * xs + hinv[1, 1] * ys + hinv[1, 2]) / den
-    d = jnp.minimum(jnp.minimum(sx + 1.0, wf - sx), jnp.minimum(sy + 1.0, hf - sy))
-    return jnp.where((d > 0.0) & (den > 0.0), d, 0.0)
+
+    # expanded source corners -> canvas (bilinear support: source in (-1, wf))
+    corners = jnp.array(
+        [[-1.0, -1.0, 1.0], [float(wf), -1.0, 1.0], [float(wf), float(hf), 1.0], [-1.0, float(hf), 1.0]],
+        jnp.float32,
+    )
+    # full f32 precision: the TPU default bf16 matmul rounds corners by +-4 px
+    ch = jnp.matmul(H, corners.T, precision=jax.lax.Precision.HIGHEST).T  # [4, 3]
+    cq = ch[:, :2] / ch[:, 2:3]  # [4, 2] canvas xy
+    cen = jnp.mean(cq, axis=0)
+
+    wlim, hlim = jnp.float32(wc - 1.0), jnp.float32(hc - 1.0)
+    rect = jnp.array([[0.0, 0.0], [wc - 1.0, 0.0], [wc - 1.0, hc - 1.0], [0.0, hc - 1.0]], jnp.float32)
+
+    # --- scalar geometry: build all 20 candidate segments (4 edges x [chord +
+    # 4 clipped canvas sides]) as stacked endpoint/validity vectors, then one
+    # vectorized grid evaluation. Keeping the grid math in a single stacked op
+    # (instead of 20 separate elementwise chains) cuts XLA compile time ~6x.
+    seg_x0, seg_y0, seg_x1, seg_y1, seg_ok_l = [], [], [], [], []
+    ins_nx, ins_ny, ins_px, ins_py = [], [], [], []
+    for i in range(4):
+        p0, p1 = cq[i], cq[(i + 1) % 4]
+        e = p1 - p0
+        # outward normal of edge i (away from the quad centroid)
+        n = jnp.array([e[1], -e[0]])
+        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+        nd = n[0] * (cen[0] - p0[0]) + n[1] * (cen[1] - p0[1])
+        n = jnp.where(nd > 0, -n, n)
+        p0 = p0 + 0.5 * n  # mean raster-phase inflation (see docstring)
+        ins_nx.append(n[0]); ins_ny.append(n[1]); ins_px.append(p0[0]); ins_py.append(p0[1])
+
+        # chord: edge LINE clipped to the canvas rect (Liang-Barsky, branch-free)
+        def axis_range(o, d, lim):
+            ta = (0.0 - o) / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+            tb = (lim - o) / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+            lo, hi = jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+            par = jnp.abs(d) < 1e-12  # parallel: inside iff origin within bounds
+            ok = (o >= 0.0) & (o <= lim)
+            lo = jnp.where(par, jnp.where(ok, -jnp.inf, jnp.inf), lo)
+            hi = jnp.where(par, jnp.where(ok, jnp.inf, -jnp.inf), hi)
+            return lo, hi
+
+        lx, hx = axis_range(p0[0], e[0], wlim)
+        ly, hy = axis_range(p0[1], e[1], hlim)
+        t0 = jnp.maximum(lx, ly)
+        t1 = jnp.minimum(hx, hy)
+        t0c = jnp.clip(t0, -1e6, 1e6)
+        t1c = jnp.clip(t1, -1e6, 1e6)
+        seg_x0.append(p0[0] + t0c * e[0]); seg_y0.append(p0[1] + t0c * e[1])
+        seg_x1.append(p0[0] + t1c * e[0]); seg_y1.append(p0[1] + t1c * e[1])
+        seg_ok_l.append(t1 >= t0)
+        # canvas sides clipped to the OUTSIDE half-plane of edge i
+        for j in range(4):
+            r0, r1 = rect[j], rect[(j + 1) % 4]
+            # outside(s) = n.(r0 + s*(r1-r0) - p0) >= 0  ->  a + s*b >= 0
+            a = n[0] * (r0[0] - p0[0]) + n[1] * (r0[1] - p0[1])
+            bcoef = n[0] * (r1[0] - r0[0]) + n[1] * (r1[1] - r0[1])
+            safe_b = jnp.where(jnp.abs(bcoef) < 1e-12, 1e-12, bcoef)
+            s_cross = -a / safe_b
+            s0 = jnp.where(bcoef >= 0, jnp.maximum(0.0, s_cross), 0.0)
+            s1 = jnp.where(bcoef >= 0, 1.0, jnp.minimum(1.0, s_cross))
+            par = jnp.abs(bcoef) < 1e-12
+            s0 = jnp.where(par, jnp.where(a >= 0, 0.0, 1.0), s0)
+            s1 = jnp.where(par, jnp.where(a >= 0, 1.0, 0.0), s1)
+            seg_x0.append(r0[0] + s0 * (r1[0] - r0[0])); seg_y0.append(r0[1] + s0 * (r1[1] - r0[1]))
+            seg_x1.append(r0[0] + s1 * (r1[0] - r0[0])); seg_y1.append(r0[1] + s1 * (r1[1] - r0[1]))
+            seg_ok_l.append(s1 >= s0)
+
+    S = len(seg_x0)  # 20
+    sx0 = jnp.stack(seg_x0).reshape(S, 1, 1)
+    sy0 = jnp.stack(seg_y0).reshape(S, 1, 1)
+    sx1 = jnp.stack(seg_x1).reshape(S, 1, 1)
+    sy1 = jnp.stack(seg_y1).reshape(S, 1, 1)
+    sok = jnp.stack(seg_ok_l).reshape(S, 1, 1)
+    dmin = jnp.min(_seg_dist(xs[None], ys[None], sx0, sy0, sx1, sy1, sok), axis=0)
+
+    inx = jnp.stack(ins_nx).reshape(4, 1, 1)
+    iny = jnp.stack(ins_ny).reshape(4, 1, 1)
+    ipx = jnp.stack(ins_px).reshape(4, 1, 1)
+    ipy = jnp.stack(ins_py).reshape(4, 1, 1)
+    inside = jnp.all(-(inx * (xs[None] - ipx) + iny * (ys[None] - ipy)) > 0.0, axis=0)
+
+    ok_orient = jnp.all(ch[:, 2] > 0.0)  # all corner denominators > 0 (no wrap)
+    d = jnp.where(jnp.isfinite(dmin), dmin, 4.0 * (hc + wc))
+    return jnp.where(inside & ok_orient, jnp.maximum(d, 0.0), 0.0)
+
+
+def hole_limited_distance(holes: jnp.ndarray, radius: int = 24) -> jnp.ndarray:
+    """Chamfer-3x4 distance (px) from every pixel to the nearest True pixel of
+    `holes`, exact up to `radius`; ~1e9 beyond. Separable banded transform:
+    power-of-two min-plus row pass (exact 1D), then a +-radius column combine
+    in the chamfer point metric."""
+    big = jnp.float32(1e9)
+    d = jnp.where(holes, 0.0, big)
+    k = 1
+    while k < radius:
+        k *= 2
+    while k >= 1:
+        d = jnp.minimum(d, _shift2d(d, 0, k, big) + k)
+        d = jnp.minimum(d, _shift2d(d, 0, -k, big) + k)
+        k //= 2
+    # column combine as a fori_loop (unrolling 2*radius+1 shifted passes made
+    # the window-step XLA compile ~6x slower); chamfer_pt is monotone in its
+    # first arg, so min(up, down) before the combine is exact
+    h = d.shape[0]
+    dpad = jnp.pad(d, ((radius, radius), (0, 0)), constant_values=big)
+
+    def body(i, out):
+        up = jax.lax.dynamic_slice_in_dim(dpad, radius - i, h, axis=0)
+        dn = jax.lax.dynamic_slice_in_dim(dpad, radius + i, h, axis=0)
+        return jnp.minimum(out, _chamfer_pt(jnp.minimum(up, dn), i.astype(jnp.float32)))
+
+    return jax.lax.fori_loop(0, radius + 1, body, jnp.full_like(d, big))
+
+
+def frame_weight_with_holes(new_px: jnp.ndarray, w_quad: jnp.ndarray, radius: int = 24) -> jnp.ndarray:
+    """Complete w_new: the analytic clipped-quad distance, limited by the
+    distance to black CONTENT pixels inside the footprint. The reference's
+    mask is `any(warped > 0)` (main.py:875-880), so interior black pixels are
+    mask holes: they are never painted and they pull the distance transform
+    down in their neighborhood. w_quad > 0 gates the footprint; holes get
+    w_new = 0 (not painted — exactly the reference's np.where semantics)."""
+    content = jnp.max(new_px, axis=0) > 0.0
+    holes = (w_quad > 0.0) & ~content
+    d_holes = hole_limited_distance(holes, radius)
+    return jnp.where(content, jnp.minimum(w_quad, d_holes), 0.0)
 
 
 def warp_frame_cm(
@@ -408,7 +591,7 @@ def warp_frame_cm(
         lambda _: _warp_gather_cm(frame, H, hc, wc),
         operand=None,
     )
-    w_new = analytic_frame_weight(H, hf, wf, hc, wc)
+    w_new = frame_weight_with_holes(warped, analytic_frame_weight(H, hf, wf, hc, wc))
     return warped, w_new
 
 

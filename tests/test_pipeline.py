@@ -93,3 +93,19 @@ def test_fidelity_psnr_on_synthetic(synthetic_video):
 
     p = mosaic_psnr_vs_opencv(synthetic_video, n_frames=12, window=4, detector="orb")
     assert p > 30.0, p
+
+
+@pytest.mark.slow
+def test_fidelity_psnr_real_clip_128_frames():
+    """VERDICT r1 item 2: PSNR-vs-oracle regression over >=100 REAL drone frames
+    must clear the 40 dB BASELINE bar (so prefix-vs-full-clip ambiguity and
+    error accumulation can't recur unnoticed)."""
+    import os
+
+    from rtvm_tpu.utils.fidelity import mosaic_psnr_vs_opencv
+
+    clip = "/root/reference/Data/поиски квадрокоптера 2 (360p) 01.mp4"
+    if not os.path.exists(clip):
+        pytest.skip("bundled drone clip not available")
+    p = mosaic_psnr_vs_opencv(clip, n_frames=128, window=16, detector="orb")
+    assert p >= 40.0, p
