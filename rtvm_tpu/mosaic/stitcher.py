@@ -234,16 +234,22 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
         # A per-frame lax.cond inside the scan costs ~2 ms/frame in lost fusion
         # (measured); instead one cond picks an all-two-pass scan (the norm) or
         # the exact gather scan (any out-of-regime frame in the window).
+        # Scalar weight geometry for the whole window OUTSIDE the scan: ~300
+        # scalar-core ops per frame cost ~0.5 ms/frame when traced inside the
+        # scan body; vmapped here they are one small batched computation.
+        fw_params = jax.vmap(
+            lambda Hh: warp_ops.frame_weight_params(
+                Hh, frame_shape[0], frame_shape[1], hc, wc
+            )
+        )(H_abs_seq)
+
         def paint_scan(warp_fn):
             def body(carry, xs):
                 canvas, union = carry
-                frame_cm, H_abs, ok_r = xs
+                frame_cm, H_abs, ok_r, fwp = xs
                 new_px = warp_fn(frame_cm, H_abs)
                 w_new = warp_ops.frame_weight_with_holes(
-                    new_px,
-                    warp_ops.analytic_frame_weight(
-                        H_abs, frame_cm.shape[1], frame_cm.shape[2], hc, wc
-                    ),
+                    new_px, warp_ops.frame_weight_eval(fwp, hc, wc)
                 )
                 w_new = jnp.where(ok_r, w_new, 0.0)  # skipped frame -> no-op blend
                 # reference blend semantics: weights = distance transforms of the
@@ -256,7 +262,7 @@ def make_window_step(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
             def run(operand):
                 canvas0, union0 = operand
                 (canvas, union), _ = jax.lax.scan(
-                    body, (canvas0, union0), (frames_cm, H_abs_seq, blended_seq)
+                    body, (canvas0, union0), (frames_cm, H_abs_seq, blended_seq, fw_params)
                 )
                 return canvas, union
 

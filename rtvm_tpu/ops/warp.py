@@ -421,21 +421,13 @@ def _seg_dist(px, py, x0, y0, x1, y1, valid):
     return jnp.where(valid, d, jnp.inf)
 
 
-def analytic_frame_weight(H: jnp.ndarray, hf: int, wf: int, hc: int, wc: int) -> jnp.ndarray:
-    """w_new on the canvas grid: the exact cv2.distanceTransform of the warped
-    frame mask (reference main.py:888), computed ANALYTICALLY instead of by
-    rasterize+EDT.
-
-    The warped mask is (convex quad Q = H*frame-rect) INTERSECTED with the
-    canvas array, and cv2's distance is to the nearest ZERO pixel, i.e. to
-    Z = canvas \\ Q = union over edges i of (outside half-plane O_i ∩ canvas).
-    dist(p, O_i ∩ canvas) for p in Q is the min distance to the 5 boundary
-    segments of that clipped half-plane: the chord (edge line clipped to the
-    canvas, Liang-Barsky) and the four canvas sides clipped to O_i. Crucially
-    this reproduces cv2's behavior on CLIPPED warps: an edge that falls outside
-    the canvas contributes no zeros, so distances keep growing past it —
-    the round-2 PSNR-decomposition showed that effect dominating the full-clip
-    blend error. Distances use cv2's chamfer-3x4 point metric (CHAMFER_A/B).
+def frame_weight_params(H: jnp.ndarray, hf: int, wf: int, hc: int, wc: int) -> tuple:
+    """Scalar geometry for analytic_frame_weight: the 20 candidate segments and
+    4 inside half-planes of the clipped warped quad, as a tuple of small
+    arrays. ~300 scalar ops — on the TPU these run on the (slow) scalar core,
+    so the stitcher vmaps THIS over the whole frame window outside the paint
+    scan (measured ~0.5 ms/frame when left inside the scan body) and feeds the
+    stacked results through the scan.
 
     The INTER_LINEAR mask is nonzero wherever the inverse-mapped sample point
     falls inside the SOURCE rect expanded by one source pixel (the bilinear
@@ -446,9 +438,6 @@ def analytic_frame_weight(H: jnp.ndarray, hf: int, wf: int, hc: int, wc: int) ->
     scale/rotation, and modeling it as geometry (not a scalar +1 on the
     result) matters at canvas borders: a quad edge within a pixel of the
     border contributes no zero pixels at all."""
-    ys = jnp.arange(hc, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(wc, dtype=jnp.float32)[None, :]
-
     # expanded source corners -> canvas (bilinear support: source in (-1, wf))
     corners = jnp.array(
         [[-1.0, -1.0, 1.0], [float(wf), -1.0, 1.0], [float(wf), float(hf), 1.0], [-1.0, float(hf), 1.0]],
@@ -516,26 +505,78 @@ def analytic_frame_weight(H: jnp.ndarray, hf: int, wf: int, hc: int, wc: int) ->
             seg_x1.append(r0[0] + s1 * (r1[0] - r0[0])); seg_y1.append(r0[1] + s1 * (r1[1] - r0[1]))
             seg_ok_l.append(s1 >= s0)
 
-    S = len(seg_x0)  # 20
-    sx0 = jnp.stack(seg_x0).reshape(S, 1, 1)
-    sy0 = jnp.stack(seg_y0).reshape(S, 1, 1)
-    sx1 = jnp.stack(seg_x1).reshape(S, 1, 1)
-    sy1 = jnp.stack(seg_y1).reshape(S, 1, 1)
-    sok = jnp.stack(seg_ok_l).reshape(S, 1, 1)
-    dmin = jnp.min(_seg_dist(xs[None], ys[None], sx0, sy0, sx1, sy1, sok), axis=0)
-
-    inx = jnp.stack(ins_nx).reshape(4, 1, 1)
-    iny = jnp.stack(ins_ny).reshape(4, 1, 1)
-    ipx = jnp.stack(ins_px).reshape(4, 1, 1)
-    ipy = jnp.stack(ins_py).reshape(4, 1, 1)
-    inside = jnp.all(-(inx * (xs[None] - ipx) + iny * (ys[None] - ipy)) > 0.0, axis=0)
-
+    segs = jnp.stack(
+        [jnp.stack(seg_x0), jnp.stack(seg_y0), jnp.stack(seg_x1), jnp.stack(seg_y1)]
+    )  # [4, 20]
+    sok = jnp.stack(seg_ok_l)  # [20]
+    planes = jnp.stack(
+        [jnp.stack(ins_nx), jnp.stack(ins_ny), jnp.stack(ins_px), jnp.stack(ins_py)]
+    )  # [4, 4]
     ok_orient = jnp.all(ch[:, 2] > 0.0)  # all corner denominators > 0 (no wrap)
-    d = jnp.where(jnp.isfinite(dmin), dmin, 4.0 * (hc + wc))
-    return jnp.where(inside & ok_orient, jnp.maximum(d, 0.0), 0.0)
+    return segs, sok, planes, ok_orient
 
 
-def hole_limited_distance(holes: jnp.ndarray, radius: int = 24) -> jnp.ndarray:
+def frame_weight_eval(params: tuple, hc: int, wc: int) -> jnp.ndarray:
+    """Grid evaluation of the analytic frame weight from frame_weight_params
+    output (see analytic_frame_weight for the full semantics)."""
+    segs, sok_v, planes, ok_orient = params
+    ys = jnp.arange(hc, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(wc, dtype=jnp.float32)[None, :]
+    S = segs.shape[1]
+    sx0 = segs[0].reshape(S, 1, 1)
+    sy0 = segs[1].reshape(S, 1, 1)
+    sx1 = segs[2].reshape(S, 1, 1)
+    sy1 = segs[3].reshape(S, 1, 1)
+    sok = sok_v.reshape(S, 1, 1)
+    inx = planes[0].reshape(4, 1, 1)
+    iny = planes[1].reshape(4, 1, 1)
+    ipx = planes[2].reshape(4, 1, 1)
+    ipy = planes[3].reshape(4, 1, 1)
+
+    # The 20-segment evaluation at full canvas resolution costs ~0.65 ms/frame
+    # on the chip; the distance field is piecewise linear, so it is evaluated
+    # on a stride-2 grid as a SIGNED field (negative outside the quad — linear
+    # across the boundary, so bilinear upsampling keeps the zero crossing
+    # exactly on the edge) and upsampled; only the inside mask runs full-res.
+    st = 2
+    gh, gw = -(-hc // st), -(-wc // st)
+    ys_lo = (jnp.arange(gh, dtype=jnp.float32) * st)[:, None]
+    xs_lo = (jnp.arange(gw, dtype=jnp.float32) * st)[None, :]
+    dmin_lo = jnp.min(_seg_dist(xs_lo[None], ys_lo[None], sx0, sy0, sx1, sy1, sok), axis=0)
+    dmin_lo = jnp.where(jnp.isfinite(dmin_lo), dmin_lo, 4.0 * (hc + wc))
+    inside_lo = jnp.all(-(inx * (xs_lo[None] - ipx) + iny * (ys_lo[None] - ipy)) > 0.0, axis=0)
+    signed_lo = jnp.where(inside_lo, dmin_lo, -dmin_lo)
+    # exact grid-aligned 2x upsample (jax.image.resize uses half-pixel centers,
+    # which would shift the field by 0.5 px): even taps copy, odd taps average
+    a = signed_lo
+    a = jnp.stack([a, 0.5 * (a + jnp.concatenate([a[1:], a[-1:]], 0))], axis=1).reshape(gh * st, gw)
+    a = jnp.stack([a, 0.5 * (a + jnp.concatenate([a[:, 1:], a[:, -1:]], 1))], axis=2).reshape(gh * st, gw * st)
+    up = a[:hc, :wc]
+
+    inside = jnp.all(-(inx * (xs[None] - ipx) + iny * (ys[None] - ipy)) > 0.0, axis=0)
+    return jnp.where(inside & ok_orient, jnp.maximum(up, 0.0), 0.0)
+
+
+def analytic_frame_weight(H: jnp.ndarray, hf: int, wf: int, hc: int, wc: int) -> jnp.ndarray:
+    """w_new on the canvas grid: the exact cv2.distanceTransform of the warped
+    frame mask (reference main.py:888), computed ANALYTICALLY instead of by
+    rasterize+EDT. See frame_weight_params/frame_weight_eval; this is their
+    composition for single-frame use.
+
+    The warped mask is (convex quad Q = H*frame-rect) INTERSECTED with the
+    canvas array, and cv2's distance is to the nearest ZERO pixel, i.e. to
+    Z = canvas minus Q = union over edges i of (outside half-plane O_i ∩ canvas).
+    dist(p, O_i ∩ canvas) for p in Q is the min distance to the 5 boundary
+    segments of that clipped half-plane: the chord (edge line clipped to the
+    canvas, Liang-Barsky) and the four canvas sides clipped to O_i. This
+    reproduces cv2's behavior on CLIPPED warps: an edge outside the canvas
+    contributes no zeros, so distances keep growing past it. Distances use
+    cv2's chamfer-3x4 point metric; the quad is the bilinear-support-expanded
+    source rect with half-pixel raster-phase inflation (see params fn)."""
+    return frame_weight_eval(frame_weight_params(H, hf, wf, hc, wc), hc, wc)
+
+
+def hole_limited_distance(holes: jnp.ndarray, radius: int = 16) -> jnp.ndarray:
     """Chamfer-3x4 distance (px) from every pixel to the nearest True pixel of
     `holes`, exact up to `radius`; ~1e9 beyond. Separable banded transform:
     power-of-two min-plus row pass (exact 1D), then a +-radius column combine
@@ -549,21 +590,18 @@ def hole_limited_distance(holes: jnp.ndarray, radius: int = 24) -> jnp.ndarray:
         d = jnp.minimum(d, _shift2d(d, 0, k, big) + k)
         d = jnp.minimum(d, _shift2d(d, 0, -k, big) + k)
         k //= 2
-    # column combine as a fori_loop (unrolling 2*radius+1 shifted passes made
-    # the window-step XLA compile ~6x slower); chamfer_pt is monotone in its
-    # first arg, so min(up, down) before the combine is exact
-    h = d.shape[0]
-    dpad = jnp.pad(d, ((radius, radius), (0, 0)), constant_values=big)
-
-    def body(i, out):
-        up = jax.lax.dynamic_slice_in_dim(dpad, radius - i, h, axis=0)
-        dn = jax.lax.dynamic_slice_in_dim(dpad, radius + i, h, axis=0)
-        return jnp.minimum(out, _chamfer_pt(jnp.minimum(up, dn), i.astype(jnp.float32)))
-
-    return jax.lax.fori_loop(0, radius + 1, body, jnp.full_like(d, big))
+    # column combine with STATIC shifts: a fori_loop here costs ~10 ms per
+    # 16-frame window in TPU loop-iteration overhead (25 iterations x 16
+    # scan steps of ~4 MB ops); chamfer_pt is monotone in its first arg, so
+    # min(up, down) before the combine is exact
+    out = _chamfer_pt(d, 0.0)
+    for dy in range(1, radius + 1):
+        pair = jnp.minimum(_shift2d(d, dy, 0, big), _shift2d(d, -dy, 0, big))
+        out = jnp.minimum(out, _chamfer_pt(pair, float(dy)))
+    return out
 
 
-def frame_weight_with_holes(new_px: jnp.ndarray, w_quad: jnp.ndarray, radius: int = 24) -> jnp.ndarray:
+def frame_weight_with_holes(new_px: jnp.ndarray, w_quad: jnp.ndarray, radius: int = 16) -> jnp.ndarray:
     """Complete w_new: the analytic clipped-quad distance, limited by the
     distance to black CONTENT pixels inside the footprint. The reference's
     mask is `any(warped > 0)` (main.py:875-880), so interior black pixels are
