@@ -42,22 +42,44 @@ def device_probe():
 
     detector = os.environ.get("BENCH_DETECTOR", "orb")
     window = int(os.environ.get("BENCH_WINDOW", "16"))
+    mode = os.environ.get("BENCH_MODE", "stitch")  # stitch | yolo | 1080p
     cap = cv2.VideoCapture(VIDEO)
     _, f0 = cap.read()
     frames = np.stack([cap.read()[1] for _ in range(window)])
     cap.release()
+    if mode == "1080p":
+        # config 5: 1080p streaming with YOLOv8l + growing canvas
+        f0 = cv2.resize(f0, (1920, 1080), interpolation=cv2.INTER_CUBIC)
+        frames = np.stack([cv2.resize(f, (1920, 1080), interpolation=cv2.INTER_CUBIC) for f in frames])
     int(jnp.int32(0))  # force real sync semantics before timing
-    mosaic = VideMosaic(f0, detector_type=detector, config=MosaicConfig(window_size=window))
+    cfg = MosaicConfig(window_size=window, auto_grow=(mode == "1080p"))
+    mosaic = VideMosaic(f0, detector_type=detector, config=cfg)
+
+    det_fn = None
+    if mode in ("yolo", "1080p"):
+        # batched bf16 detection over the window's frames (configs 3/5)
+        from rtvm_tpu.detect.detector import ObjectDetector
+
+        det_model = "yolov8l" if mode == "1080p" else "yolov8n"
+        det = ObjectDetector(model=det_model)
+        run = det._infer_fn(640, 0.25, 0.45)
+        det_fn = lambda fr: run(fr).scores
+
     dwin = jnp.asarray(frames)
     tiny = jax.jit(lambda x: x + 1)
     tx = jnp.ones((8, 128), jnp.float32)
     jax.block_until_ready(tiny(tx))
     mosaic.process_window(dwin)  # compile + one warm step
+    if det_fn is not None:
+        jax.block_until_ready(det_fn(dwin))
     jax.block_until_ready(mosaic.state.canvas)
     ts, rtts = [], []
     for _ in range(5):
         t0 = time.perf_counter()
         mosaic.process_window(dwin)
+        if det_fn is not None:
+            det_out = det_fn(dwin)
+            jax.block_until_ready(det_out)
         jax.block_until_ready(mosaic.state.canvas)
         ts.append(time.perf_counter() - t0)
         t0 = time.perf_counter()

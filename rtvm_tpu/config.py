@@ -88,6 +88,14 @@ class MosaicConfig:
     output_height_times: float = 2.0
     output_width_times: float = 1.2
     window_size: int = 16  # frames batched per jitted step
+    # Growing HBM canvas (long-video / config-5 streaming): when the warped
+    # footprint comes within `grow_margin` px of a canvas edge, the canvas is
+    # padded on-device in `grow_quantum`-px steps (quantized so jit
+    # re-specializations stay rare). Off by default — reference parity is a
+    # fixed preallocated canvas (main.py:80-81).
+    auto_grow: bool = False
+    grow_margin: int = 48
+    grow_quantum: int = 256
     features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
     ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)

@@ -427,6 +427,8 @@ class VideMosaic:
         frames = jnp.asarray(frames, jnp.uint8)
         step = self._get_step(int(frames.shape[0]))
         self.state, aux = step(self.state, frames, self._key, self._fweight, self._wtable)
+        if self.config.auto_grow:
+            self._maybe_grow(aux)
         if self.output_dir and (self.visualize or self.show_intermediate):
             # Throttled: a full-canvas device->host pull per window would stall the
             # TPU pipeline; every 4th window is plenty for progress monitoring.
@@ -434,6 +436,64 @@ class VideMosaic:
             if self._windows_seen % 4 == 1:
                 self._dump_intermediate(np.asarray(frames), aux)
         return aux
+
+    def _maybe_grow(self, aux: "WindowAux") -> None:
+        """Grow-on-demand HBM canvas (config-5 streaming; SURVEY section 5
+        'long-video/unbounded canvas'). Host-side check on the window's warped
+        corners; growth pads the on-device canvas/union grid and shifts the
+        coordinate origin through H_old. Growth amounts are quantized to
+        `grow_quantum` px so the window step re-specializes at most a handful
+        of times over an arbitrarily long video."""
+        cfg = self.config
+        h, w = self.frame_shape[:2]
+        hc, wc, c = self.canvas_shape
+        hs = np.asarray(aux.H_abs)
+        blended = np.asarray(aux.blended)
+        corners_src = np.array(
+            [[0.0, 0.0, 1.0], [w, 0.0, 1.0], [w, float(h), 1.0], [0.0, float(h), 1.0]]
+        ).T
+        xs_all, ys_all = [], []
+        for Hm, ok in zip(hs, blended):
+            if not ok:
+                continue
+            p = Hm.astype(np.float64) @ corners_src
+            den = p[2]
+            if np.any(den <= 1e-9):
+                continue
+            xs_all.append(p[0] / den)
+            ys_all.append(p[1] / den)
+        if not xs_all:
+            return
+        xs_f = np.concatenate(xs_all)
+        ys_f = np.concatenate(ys_all)
+        m, q = cfg.grow_margin, cfg.grow_quantum
+
+        def need(amount):
+            return int(np.ceil(max(amount, 0.0) / q) * q) if amount > 0 else 0
+
+        left = need(m - xs_f.min())
+        top = need(m - ys_f.min())
+        right = need(xs_f.max() - (wc - 1 - m))
+        bottom = need(ys_f.max() - (hc - 1 - m))
+        if not (left or top or right or bottom):
+            return
+        st = self.state
+        canvas = jnp.pad(st.canvas, ((0, 0), (top, bottom), (left, right)))
+        cell = warp_ops.CELL_PX
+        union = jnp.pad(
+            st.union_coarse, ((top // cell, bottom // cell), (left // cell, right // cell))
+        )
+        shift = jnp.asarray(
+            np.array([[1.0, 0.0, left], [0.0, 1.0, top], [0.0, 0.0, 1.0]], np.float32)
+        )
+        self.state = st._replace(
+            canvas=canvas,
+            union_coarse=union,
+            H_old=jnp.matmul(shift, st.H_old, precision=jax.lax.Precision.HIGHEST),
+        )
+        self.canvas_shape = (hc + top + bottom, wc + left + right, c)
+        self.w_offset += top
+        self.h_offset += left
 
     def process_frame(self, frame_cur, frame_count: int = 0) -> bool:
         """Reference-parity single-frame path (main.py:710). Returns True if the frame's

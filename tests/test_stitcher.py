@@ -140,3 +140,33 @@ def test_draw_border_draws_closed_polygon(scene):
     assert red.sum() > 300
     for px, py in [(70, 22), (117, 90), (65, 145), (19, 80)]:
         assert red[max(py - 4, 0) : py + 5, max(px - 4, 0) : px + 5].any()
+
+
+def test_auto_grow_canvas(textured_image):
+    """Config-5 growing HBM canvas: a pan that walks off the default canvas
+    grows it on demand (quantized pads), keeps painting, and preserves the
+    coordinate origin through H_old."""
+    import dataclasses
+
+    big = np.tile(textured_image, (3, 3, 1))[:500, :500]
+    h, w = 96, 128
+    frames = []
+    for i in range(9):
+        y0 = 320 - i * 36  # strong upward pan: exits a 2x-h canvas quickly
+        frames.append(big[y0 : y0 + h, 40 : 40 + w])
+    cfg = MosaicConfig(
+        window_size=4, auto_grow=True, grow_margin=16, grow_quantum=64,
+        features=FeatureConfig(detector_type="orb", max_keypoints=300),
+    )
+    m = VideMosaic(frames[0], detector_type="orb", config=cfg)
+    hc0, wc0, _ = m.canvas_shape
+    m.process_window(np.stack(frames[1:5]))
+    m.process_window(np.stack(frames[5:9]))
+    hc1, wc1, _ = m.canvas_shape
+    assert hc1 > hc0, (hc0, hc1)  # grew upward
+    assert (hc1 - hc0) % 64 == 0 and (wc1 - wc0) % 64 == 0
+    out = m.output_img
+    assert out.shape[:2] == (hc1, wc1)
+    # content was painted into the GROWN region (above the original canvas top)
+    grown_rows = out[: hc1 - hc0]
+    assert (grown_rows.sum(-1) > 0).mean() > 0.05
