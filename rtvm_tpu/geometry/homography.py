@@ -72,19 +72,59 @@ def _dlt_rows(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([r1, r2], axis=0)  # [2K, 9]
 
 
+def _square_to_quad(q: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form homography mapping the unit square (0,0),(1,0),(1,1),(0,1)
+    to quad q [4, 2] (Heckbert's construction) — pure elementwise arithmetic,
+    so a vmap over RANSAC hypotheses stays on the vector unit instead of
+    lowering to XLA's batched-LU while-loops."""
+    x0, y0 = q[0, 0], q[0, 1]
+    x1, y1 = q[1, 0], q[1, 1]
+    x2, y2 = q[2, 0], q[2, 1]
+    x3, y3 = q[3, 0], q[3, 1]
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    dx3, dy3 = x0 - x1 + x2 - x3, y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (dx3 * dy2 - dx2 * dy3) / den
+    h = (dx1 * dy3 - dx3 * dy1) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    return jnp.stack([
+        jnp.stack([a, b, x0]),
+        jnp.stack([d, e, y0]),
+        jnp.stack([g, h, jnp.float32(1.0)]),
+    ])
+
+
+def _adjugate3(m: jnp.ndarray) -> jnp.ndarray:
+    """3x3 adjugate (inverse up to scale — enough for homographies)."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    return jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e]),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f]),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d]),
+    ])
+
+
 def dlt_homography_4pt(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
-    """Exact homography from 4 correspondences via normalized DLT with h33 pinned to 1
-    (a batched 8x8 solve — far cheaper on TPU than per-hypothesis SVD)."""
+    """Exact homography from 4 correspondences: Hartley-normalize both sides
+    (f32 conditioning), then H = S2Q(dst_n) @ adj(S2Q(src_n)) in closed form.
+    Replaces the earlier batched 8x8 LU solve — XLA lowers batched LU to
+    pivot-search while-loops that cost ~10 ms per window across the 16x256
+    RANSAC hypotheses; the closed form is pure vectorized arithmetic."""
     ones4 = jnp.ones((4,), dtype=jnp.float32)
     t_src = _normalization(src, ones4)
     t_dst = _normalization(dst, ones4)
     sn = project(t_src, src)
     dn = project(t_dst, dst)
-    a = _dlt_rows(sn, dn)  # [8, 9]
-    h8 = jnp.linalg.solve(a[:, :8], -a[:, 8])
-    hn = jnp.concatenate([h8, jnp.ones((1,), dtype=jnp.float32)]).reshape(3, 3)
-    H = _mm(_mm(jnp.linalg.inv(t_dst), hn), t_src)
-    return H / H[2, 2]
+    hn = _mm(_square_to_quad(dn), _adjugate3(_square_to_quad(sn)))
+    H = _mm(_mm(_adjugate3(t_dst), hn), t_src)
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
 
 
 def dlt_homography_weighted(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

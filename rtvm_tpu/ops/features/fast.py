@@ -102,23 +102,34 @@ def detect_fast(
     inside = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
     score = jnp.where(inside, score, 0.0)
 
-    # Two-stage top-K: pack the lane offset into the low bits of the (positive)
-    # f32 score bitcast to int32 (order-preserving), max-reduce 8-lane blocks,
-    # then top_k over 8x fewer candidates. The 3 low mantissa bits carry the
-    # offset — a ~1e-6 relative score perturbation, irrelevant for ranking.
-    # NMS already enforces one keypoint per 3x3, so one-per-8-lane-block loses
-    # at most immediate horizontal neighbors' ties.
+    top, ky, kx, valid = topk2d_blocked(score, max_keypoints)
+    xy = jnp.where(
+        valid[:, None], jnp.stack([kx.astype(jnp.float32), ky.astype(jnp.float32)], -1), 0.0
+    )
+    return Keypoints(xy=xy, score=jnp.where(valid, top, 0.0), valid=valid)
+
+
+def topk2d_blocked(score: jnp.ndarray, k: int):
+    """Top-k over a [H, W] positive score map -> (score, y, x, valid), each [k].
+
+    Two-stage: pack the lane offset into the low bits of the (positive) f32
+    score bitcast to int32 (order-preserving), max-reduce 8-lane blocks, then
+    top_k over 8x fewer candidates. The 3 low mantissa bits carry the offset —
+    a ~1e-6 relative score perturbation, irrelevant for ranking. With 3x3 NMS
+    upstream, one-per-8-lane-block loses at most immediate horizontal
+    neighbors' ties. Shared by the FAST and SIFT detectors (for a stacked
+    [S, H, W] map, reshape to [S*H, W] and split y into (level, row))."""
+    h, w = score.shape
     wp = ((w + 7) // 8) * 8
     sp = jnp.pad(score, ((0, 0), (0, wp - w)))
     enc = jax.lax.bitcast_convert_type(sp, jnp.int32)
     enc = (enc & ~7) | jax.lax.broadcasted_iota(jnp.int32, (h, wp), 1) % 8
     enc = jnp.where(sp > 0.0, enc, 0)
     blocks = enc.reshape(h, wp // 8, 8).max(axis=-1)  # [H, Wp/8]
-    top_enc, bidx = jax.lax.top_k(blocks.reshape(-1), max_keypoints)
+    top_enc, bidx = jax.lax.top_k(blocks.reshape(-1), k)
     off = top_enc & 7
     top = jax.lax.bitcast_convert_type(top_enc & ~7, jnp.float32)
-    ky = (bidx // (wp // 8)).astype(jnp.float32)
-    kx = ((bidx % (wp // 8)) * 8 + off).astype(jnp.float32)
+    ky = bidx // (wp // 8)
+    kx = (bidx % (wp // 8)) * 8 + off
     valid = top_enc > 0
-    xy = jnp.where(valid[:, None], jnp.stack([kx, ky], axis=-1), 0.0)
-    return Keypoints(xy=xy, score=jnp.where(valid, top, 0.0), valid=valid)
+    return top, ky, kx, valid

@@ -79,23 +79,39 @@ def _moment_masks(radius: int = 15, patch: int = PATCH):
 def extract_patches_batch(imgs: jnp.ndarray, xy: jnp.ndarray, patch: int = PATCH) -> jnp.ndarray:
     """[B, K, patch, patch] patches centered on integer keypoint coords (clamped).
 
-    Cost model (measured): vmap'd dynamic_slice is billed per DMA row, and the
-    slow path triggers when the source minor dim is not 128-aligned. So the
-    images are (1) padded to a 128-multiple width and (2) stacked vertically so
-    ONE flat vmap over B*K slices runs instead of a vmap-of-vmap (17.4 -> 10.5 ms
-    for 16x700 patches on v5e)."""
+    Cost model (measured): vmap'd dynamic_slice is billed per DMA ROW, and the
+    slow path triggers when the source minor dim is not 128-aligned. So:
+    (1) images are padded to a 128-multiple width and stacked vertically so ONE
+        flat vmap over B*K slices runs instead of a vmap-of-vmap;
+    (2) pairs of image rows are column-INTERLEAVED into one row
+        (I2[r, 2c+q] = I[2r+q, c]), so a patch needs patch/2+1 DMA rows
+        instead of patch (8.9 -> ~4.8 ms for 16x700 patches on v5e). The
+        extra row + a parity select reconstructs the EXACT patch for odd
+        keypoint rows."""
     b, h, w = imgs.shape
     half = patch // 2
     wp = -(-w // 128) * 128
     big = jnp.pad(imgs, ((0, 0), (0, 0), (0, wp - w))).reshape(b * h, wp)
-    ys = jnp.clip(xy[..., 1].astype(jnp.int32) - half, 0, h - patch)
+    if (b * h) % 2:  # odd total rows: pad one row so the interleave reshape works
+        big = jnp.pad(big, ((0, 1), (0, 0)))
+    rows2 = big.shape[0] // 2
+    inter = big.reshape(rows2, 2, wp).transpose(0, 2, 1).reshape(rows2, 2 * wp)
+
+    ys = jnp.clip(xy[..., 1].astype(jnp.int32) - half, 0, h - patch - 2)
     ys = (ys + jnp.arange(b, dtype=jnp.int32)[:, None] * h).reshape(-1)
     xs = jnp.clip(xy[..., 0].astype(jnp.int32) - half, 0, w - patch).reshape(-1)
+    par = ys % 2
+    ybase = ys // 2
+    nrows = patch // 2 + 1
 
     def one(y0, x0):
-        return jax.lax.dynamic_slice(big, (y0, x0), (patch, patch))
+        return jax.lax.dynamic_slice(inter, (y0, 2 * x0), (nrows, 2 * patch))
 
-    return jax.vmap(one)(ys, xs).reshape(b, -1, patch, patch)
+    sl = jax.vmap(one)(ybase, xs)  # [BK, patch/2+1, 2*patch]
+    # de-interleave to [BK, patch+2, patch], then parity-select the patch rows
+    blk = sl.reshape(-1, nrows, patch, 2).transpose(0, 1, 3, 2).reshape(-1, patch + 2, patch)
+    out = jnp.where(par[:, None, None] == 0, blk[:, :patch], blk[:, 1 : patch + 1])
+    return out.reshape(b, -1, patch, patch)
 
 
 def extract_patches(img: jnp.ndarray, kps: Keypoints, patch: int = PATCH) -> jnp.ndarray:

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rtvm_tpu.ops.filters import gaussian_blur, maxpool3x3
+from rtvm_tpu.ops.features.fast import topk2d_blocked
+from rtvm_tpu.ops.filters import gaussian_blur, gaussian_kernel1d, maxpool3x3
 
 PATCH = 32  # descriptor patch side (octave pixels)
 N_ROT_BINS = 16  # quantized keypoint-angle bins for the spatial weight tables
@@ -45,6 +46,38 @@ def _octave_quotas(k: int, octaves: int) -> list[int]:
     q = np.floor(k * raw / raw.sum()).astype(int)
     q[0] += k - q.sum()
     return [int(x) for x in q]
+
+
+def _octave_levels(base: jnp.ndarray, deltas: np.ndarray) -> jnp.ndarray:
+    """All Gaussian levels of one octave in TWO conv dispatches.
+
+    base [H, W]; deltas[l] = sqrt(sigma_l^2 - sigma_base^2) (0 for level 0).
+    Instead of chaining s+2 small separable blurs (6 x 2 dispatches whose
+    serialization dominated the pyramid cost — 36 ms/16-frame window), every
+    level is blurred DIRECTLY from the base: one multi-output-channel conv
+    along x, one depthwise conv along y. Gaussian semigroup property makes
+    this exact up to tap truncation. Returns [L, H, W]."""
+    L = len(deltas)
+    rad = max(1, int(math.ceil(3.0 * float(max(deltas)))))
+    K = 2 * rad + 1
+    kers = np.zeros((L, K), np.float32)
+    for i, d in enumerate(deltas):
+        if d < 1e-6:
+            kers[i, rad] = 1.0
+        else:
+            kers[i] = gaussian_kernel1d(float(d), rad)
+    h, w = base.shape
+    x = jnp.pad(base, ((rad, rad), (rad, rad)), mode="edge")[None, None]  # [1,1,Hp,Wp]
+    wx = jnp.asarray(kers).reshape(L, 1, 1, K)
+    y = jax.lax.conv_general_dilated(
+        x, wx, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )  # [1, L, H+2r, W]
+    wy = jnp.asarray(kers).reshape(L, 1, K, 1)
+    z = jax.lax.conv_general_dilated(
+        y, wy, (1, 1), "VALID", feature_group_count=L,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # [1, L, H, W]
+    return z[0]
 
 
 def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
@@ -75,12 +108,10 @@ def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
     inside = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
 
     final = jnp.where(extremum & edge_ok & inside, score, 0.0)
-    top, idx = jax.lax.top_k(final.reshape(-1), quota)
-    lvl = idx // (h * w)
-    rem = idx % (h * w)
-    ky = rem // w
-    kx = rem % w
-    valid = top > 0.0
+    # two-stage blocked top-k (shared with FAST): ~8x fewer top_k candidates
+    top, row, kx, valid = topk2d_blocked(final.reshape(-1, w), quota)
+    lvl = row // h
+    ky = row % h
 
     g_x = 0.5 * (mid[lvl, ky, jnp.clip(kx + 1, 0, w - 1)] - mid[lvl, ky, jnp.clip(kx - 1, 0, w - 1)])
     g_y = 0.5 * (mid[lvl, jnp.clip(ky + 1, 0, h - 1), kx] - mid[lvl, jnp.clip(ky - 1, 0, h - 1), kx])
@@ -136,15 +167,18 @@ def _extract_level_patches(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.nda
     ys = jnp.clip(xy[:, 1].astype(jnp.int32) - half, 0, h - PATCH)
     xs = jnp.clip(xy[:, 0].astype(jnp.int32) - half, 0, w - PATCH)
 
-    def per_level(img):
-        def one(y0, x0):
-            return jax.lax.dynamic_slice(img, (y0, x0), (PATCH, PATCH))
+    # ONE [S, P, P] slice per keypoint (vs S separate slices): 3x fewer DMA
+    # programs. The source minor dim must stay 128-aligned for the sliced-DMA
+    # fast path (NOTES_ROUND1 item 4), so pad W up.
+    wp = ((w + 127) // 128) * 128
+    src = jnp.pad(gauss_mid, ((0, 0), (0, 0), (0, wp - w)))
 
-        return jax.vmap(one)(ys, xs)
+    def one(y0, x0):
+        return jax.lax.dynamic_slice(src, (0, y0, x0), (s, PATCH, PATCH))
 
-    all_patches = jnp.stack([per_level(gauss_mid[i]) for i in range(s)])  # [S, Q, P, P]
+    all_patches = jax.vmap(one)(ys, xs)  # [Q, S, P, P]
     onehot = jax.nn.one_hot(lvl - 1, s, dtype=gauss_mid.dtype)  # [Q, S]
-    return jnp.einsum("qs,sqpr->qpr", onehot, all_patches)
+    return jnp.einsum("qs,qspr->qpr", onehot, all_patches)
 
 
 def _orientation_and_descriptors(patches: jnp.ndarray, valid: jnp.ndarray, sigma_desc: float):
@@ -203,15 +237,13 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
     img = gray / 255.0
     kfac = 2.0 ** (1.0 / s)
     sigmas = np.array([sigma0 * kfac**l for l in range(s + 3)], dtype=np.float32)
-    inc = np.sqrt(np.maximum(sigmas[1:] ** 2 - sigmas[:-1] ** 2, 1e-6))
+    # direct-from-base sigma deltas for the fused per-octave blur (semigroup)
+    deltas = np.sqrt(np.maximum(sigmas**2 - sigmas[0] ** 2, 0.0))
 
     xs_all, desc_all, valid_all = [], [], []
     base = gaussian_blur(img, float(np.sqrt(max(sigma0**2 - 0.25, 0.01))))
     for o in range(octaves):
-        levels = [base]
-        for l in range(s + 2):
-            levels.append(gaussian_blur(levels[-1], float(inc[l])))
-        gauss = jnp.stack(levels)  # [s+3, H, W]
+        gauss = _octave_levels(base, deltas)  # [s+3, H, W]
         dogs = gauss[1:] - gauss[:-1]  # [s+2, H, W]
 
         xy, lvl, _, valid = _detect_octave(

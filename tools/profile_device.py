@@ -102,7 +102,7 @@ def main(stage):
         def match_only(descs, valids):
             desc_prev = jnp.concatenate([descs[:1], descs[:-1]], axis=0)
             valid_prev = jnp.concatenate([valids[:1], valids[:-1]], axis=0)
-            return jax.vmap(lambda dq, vq, dt, vt: S._match_pair(dq, vq, dt, vt, cfg).idx)(
+            return jax.vmap(lambda dq, vq, dt, vt: S._match_pair(dq, vq, dt, vt, cfg).train_idx)(
                 descs, valids, desc_prev, valid_prev
             )
 
