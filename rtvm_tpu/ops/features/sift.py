@@ -161,24 +161,35 @@ def _static_tables(sigma_desc: float):
 
 def _extract_level_patches(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.ndarray):
     """Cut [Q, P, P] patches at integer coords from the keypoint's own level.
-    gauss_mid: [S, H, W] (levels 1..s of the Gaussian stack); lvl in 1..s."""
+    gauss_mid: [S, H, W] (levels 1..s of the Gaussian stack); lvl in 1..s.
+
+    DMA-row economy (patch slices are billed per row): the levels are stacked
+    vertically so the keypoint's LEVEL becomes part of the dynamic row offset
+    (one [P, P] slice instead of an [S, P, P] slice — S x fewer rows, no
+    one-hot level select), and pairs of rows are column-interleaved so the
+    slice needs P/2+1 rows with an exact parity-select reconstruction (same
+    trick as orb.extract_patches_batch). Net: 96 -> 17 DMA rows per keypoint."""
     s, h, w = gauss_mid.shape
     half = PATCH // 2
-    ys = jnp.clip(xy[:, 1].astype(jnp.int32) - half, 0, h - PATCH)
-    xs = jnp.clip(xy[:, 0].astype(jnp.int32) - half, 0, w - PATCH)
-
-    # ONE [S, P, P] slice per keypoint (vs S separate slices): 3x fewer DMA
-    # programs. The source minor dim must stay 128-aligned for the sliced-DMA
-    # fast path (NOTES_ROUND1 item 4), so pad W up.
     wp = ((w + 127) // 128) * 128
-    src = jnp.pad(gauss_mid, ((0, 0), (0, 0), (0, wp - w)))
+    big = jnp.pad(gauss_mid, ((0, 0), (0, 0), (0, wp - w))).reshape(s * h, wp)
+    if (s * h) % 2:
+        big = jnp.pad(big, ((0, 1), (0, 0)))
+    rows2 = big.shape[0] // 2
+    inter = big.reshape(rows2, 2, wp).transpose(0, 2, 1).reshape(rows2, 2 * wp)
+
+    ys = jnp.clip(xy[:, 1].astype(jnp.int32) - half, 0, h - PATCH - 2) + (lvl - 1) * h
+    xs = jnp.clip(xy[:, 0].astype(jnp.int32) - half, 0, w - PATCH)
+    par = ys % 2
+    ybase = ys // 2
+    nrows = PATCH // 2 + 1
 
     def one(y0, x0):
-        return jax.lax.dynamic_slice(src, (0, y0, x0), (s, PATCH, PATCH))
+        return jax.lax.dynamic_slice(inter, (y0, 2 * x0), (nrows, 2 * PATCH))
 
-    all_patches = jax.vmap(one)(ys, xs)  # [Q, S, P, P]
-    onehot = jax.nn.one_hot(lvl - 1, s, dtype=gauss_mid.dtype)  # [Q, S]
-    return jnp.einsum("qs,qspr->qpr", onehot, all_patches)
+    sl = jax.vmap(one)(ybase, xs)  # [Q, P/2+1, 2P]
+    blk = sl.reshape(-1, nrows, PATCH, 2).transpose(0, 1, 3, 2).reshape(-1, PATCH + 2, PATCH)
+    return jnp.where(par[:, None, None] == 0, blk[:, :PATCH], blk[:, 1 : PATCH + 1])
 
 
 def _orientation_and_descriptors(patches: jnp.ndarray, valid: jnp.ndarray, sigma_desc: float):
@@ -190,33 +201,38 @@ def _orientation_and_descriptors(patches: jnp.ndarray, valid: jnp.ndarray, sigma
     ori = jnp.arctan2(gy, gx)  # [-pi, pi]
 
     ori_win, spatial = _static_tables(sigma_desc)
-    wmag = mag * jnp.asarray(ori_win)[None]
+    # histogram/descriptor contractions ride the MXU in bf16 (~0.4% relative
+    # weight error into L2-normalized 128-d bins — far below matching noise)
+    bf = jnp.bfloat16
+    wmag = (mag * jnp.asarray(ori_win)[None]).astype(bf)
 
     # --- dominant orientation: 36-bin histogram via soft binning einsum ---
     bins36 = (ori % (2 * jnp.pi)) / (2 * jnp.pi) * 36.0
     b0 = jnp.floor(bins36).astype(jnp.int32) % 36
     frac = bins36 - jnp.floor(bins36)
-    oh0 = jax.nn.one_hot(b0, 36, dtype=patches.dtype) * (1 - frac)[..., None]
-    oh1 = jax.nn.one_hot((b0 + 1) % 36, 36, dtype=patches.dtype) * frac[..., None]
-    hist = jnp.einsum("qpr,qprb->qb", wmag, oh0 + oh1)
+    oh0 = jax.nn.one_hot(b0, 36, dtype=bf) * (1 - frac)[..., None].astype(bf)
+    oh1 = jax.nn.one_hot((b0 + 1) % 36, 36, dtype=bf) * frac[..., None].astype(bf)
+    hist = jnp.einsum("qpr,qprb->qb", wmag, oh0 + oh1, preferred_element_type=jnp.float32)
     hist = hist + 0.5 * (jnp.roll(hist, 1, 1) + jnp.roll(hist, -1, 1))
     peak = jnp.argmax(hist, axis=1).astype(jnp.float32)
     theta = (peak + 0.5) * (2 * jnp.pi / 36.0)
 
     # --- descriptor: quantized-rotation spatial weights x continuous ori bins ---
     rot_bin = jnp.round(theta / (2 * jnp.pi) * N_ROT_BINS).astype(jnp.int32) % N_ROT_BINS
-    rot_oh = jax.nn.one_hot(rot_bin, N_ROT_BINS, dtype=patches.dtype)  # [Q, B]
-    wsel = jnp.einsum("qb,bps->qps", rot_oh, jnp.asarray(spatial))  # [Q, P*P, 16]
+    rot_oh = jax.nn.one_hot(rot_bin, N_ROT_BINS, dtype=bf)  # [Q, B]
+    wsel = jnp.einsum("qb,bps->qps", rot_oh, jnp.asarray(spatial).astype(bf))  # [Q, P*P, 16]
 
     rel = (ori - theta[:, None, None]) % (2 * jnp.pi) / (2 * jnp.pi) * N_ORI
     o0 = jnp.floor(rel).astype(jnp.int32) % N_ORI
     of = rel - jnp.floor(rel)
     ooh = (
-        jax.nn.one_hot(o0, N_ORI, dtype=patches.dtype) * (1 - of)[..., None]
-        + jax.nn.one_hot((o0 + 1) % N_ORI, N_ORI, dtype=patches.dtype) * of[..., None]
+        jax.nn.one_hot(o0, N_ORI, dtype=bf) * (1 - of)[..., None].astype(bf)
+        + jax.nn.one_hot((o0 + 1) % N_ORI, N_ORI, dtype=bf) * of[..., None].astype(bf)
     )  # [Q, P, P, 8]
-    contrib = (mag[..., None] * ooh).reshape(q, PATCH * PATCH, N_ORI)
-    desc = jnp.einsum("qps,qpo->qso", wsel, contrib).reshape(q, N_SPATIAL * N_SPATIAL * N_ORI)
+    contrib = (mag.astype(bf)[..., None] * ooh).reshape(q, PATCH * PATCH, N_ORI)
+    desc = jnp.einsum(
+        "qps,qpo->qso", wsel, contrib, preferred_element_type=jnp.float32
+    ).reshape(q, N_SPATIAL * N_SPATIAL * N_ORI)
 
     norm = jnp.sqrt(jnp.sum(desc**2, axis=-1, keepdims=True)) + 1e-7
     desc = jnp.minimum(desc / norm, 0.2)

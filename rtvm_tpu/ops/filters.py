@@ -66,13 +66,24 @@ def sobel(img: jnp.ndarray):
     return gx, gy
 
 
+def _shift_minor(img: jnp.ndarray, off: int, axis: int, fill: float) -> jnp.ndarray:
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (max(off, 0), max(-off, 0))
+    p = jnp.pad(img, pad, constant_values=fill)
+    sl = [slice(None)] * img.ndim
+    sl[axis] = slice(max(-off, 0), max(-off, 0) + img.shape[axis])
+    return p[tuple(sl)]
+
+
 def maxpool3x3(img: jnp.ndarray) -> jnp.ndarray:
-    """3x3 max filter with SAME padding — the NMS companion."""
-    return jax.lax.reduce_window(
-        img, -jnp.inf, jax.lax.max,
-        window_dimensions=(1,) * (img.ndim - 2) + (3, 3),
-        window_strides=(1,) * img.ndim,
-        padding="SAME",
+    """3x3 max filter with SAME padding (separable shift-max: reduce_window
+    lowers poorly on this backend)."""
+    ninf = -jnp.inf if jnp.issubdtype(img.dtype, jnp.floating) else jnp.iinfo(img.dtype).min
+    mx = jnp.maximum(
+        img, jnp.maximum(_shift_minor(img, 1, -1, ninf), _shift_minor(img, -1, -1, ninf))
+    )
+    return jnp.maximum(
+        mx, jnp.maximum(_shift_minor(mx, 1, -2, ninf), _shift_minor(mx, -1, -2, ninf))
     )
 
 
