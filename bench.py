@@ -47,12 +47,12 @@ def device_probe():
     _, f0 = cap.read()
     frames = np.stack([cap.read()[1] for _ in range(window)])
     cap.release()
-    if mode == "1080p":
+    if mode.startswith("1080p"):
         # config 5: 1080p streaming with YOLOv8l + growing canvas
         f0 = cv2.resize(f0, (1920, 1080), interpolation=cv2.INTER_CUBIC)
         frames = np.stack([cv2.resize(f, (1920, 1080), interpolation=cv2.INTER_CUBIC) for f in frames])
     int(jnp.int32(0))  # force real sync semantics before timing
-    cfg = MosaicConfig(window_size=window, auto_grow=(mode == "1080p"))
+    cfg = MosaicConfig(window_size=window, auto_grow=mode.startswith("1080p"))
     mosaic = VideMosaic(f0, detector_type=detector, config=cfg)
 
     det_fn = None
