@@ -39,6 +39,11 @@ class MonocularDepthEstimator:
         self._flax = None
         if prefer_hub:
             try:
+                # fail fast when offline: transformers otherwise burns ~1 min
+                # in connect retries before falling back
+                import socket
+
+                socket.create_connection(("huggingface.co", 443), timeout=3).close()
                 from transformers import pipeline
 
                 self._pipe = pipeline(
@@ -53,10 +58,31 @@ class MonocularDepthEstimator:
             try:
                 from rtvm_tpu.models.depthnet import build_depthnet
 
-                self._flax = build_depthnet()
+                model, variables = build_depthnet()
+                # trained synthetic-terrain checkpoint (models/train_depth.py)
+                ckpt = self._find_depth_weights()
+                if ckpt is not None:
+                    from rtvm_tpu.utils.checkpoint import load_pytree_npz
+
+                    variables = load_pytree_npz(ckpt, dict(variables))
+                    print(f"Загружены веса глубины: {ckpt}")
+                self._flax = (model, variables)
                 self.backend = "flax"
             except Exception as e:
                 print(f"Предупреждение: Flax depth net недоступна ({e}); эвристика")
+
+    @staticmethod
+    def _find_depth_weights():
+        import os
+
+        repo_weights = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "weights"
+        )
+        for d in (".", "weights", repo_weights):
+            p = os.path.join(d, "depthnet.npz")
+            if os.path.exists(p):
+                return p
+        return None
 
     def estimate_depth(self, image_bgr: np.ndarray) -> np.ndarray:
         """[H, W, 3] BGR uint8 -> [H, W] float32 normalized depth in [0, 1]

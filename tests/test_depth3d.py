@@ -129,3 +129,41 @@ def test_terrain_reconstructor(tmp_path, textured_image):
     res = r.process(ip, output_dir=str(tmp_path))
     for k in ("depth", "cloud", "mesh"):
         assert os.path.exists(res[k]), k
+
+
+def test_depth_synth_scene_properties():
+    """Synthetic depth scenes: buildings create sharp nearness steps and the
+    image/depth pair is well-formed (models/depth_synth.py)."""
+    import numpy as np
+
+    from rtvm_tpu.models.depth_synth import make_depth_batch
+
+    imgs, near = make_depth_batch(np.random.RandomState(3), 2, 120, 160)
+    assert imgs.shape == (2, 120, 160, 3) and near.shape == (2, 120, 160)
+    assert 0.0 <= imgs.min() and imgs.max() <= 1.0
+    assert near.min() >= 0.0 and near.max() <= 1.0
+    # depth must have real structure, not constants
+    assert near.std(axis=(1, 2)).min() > 0.05
+
+
+@pytest.mark.slow
+def test_trained_depthnet_quality():
+    """Gated on the trained checkpoint (models/train_depth.py): affine-aligned
+    prediction must correlate with ground truth on unseen scenes."""
+    import os
+
+    if not os.path.exists("weights/depthnet.npz"):
+        pytest.skip("no trained depth checkpoint in this tree")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtvm_tpu.models.depth_synth import make_depth_batch
+    from rtvm_tpu.models.depthnet import build_depthnet
+    from rtvm_tpu.utils.checkpoint import load_pytree_npz
+
+    model, variables = build_depthnet()
+    variables = load_pytree_npz("weights/depthnet.npz", dict(variables))
+    imgs, near = make_depth_batch(np.random.RandomState(123456), 4, 240, 320)
+    pred = np.asarray(model.apply(variables, jnp.asarray(imgs))[..., 0])
+    rhos = [np.corrcoef(pred[i].ravel(), near[i].ravel())[0, 1] for i in range(4)]
+    assert float(np.mean(rhos)) > 0.6, rhos
