@@ -170,3 +170,37 @@ def test_auto_grow_canvas(textured_image):
     # content was painted into the GROWN region (above the original canvas top)
     grown_rows = out[: hc1 - hc0]
     assert (grown_rows.sum(-1) > 0).mean() > 0.05
+
+
+def test_process_clip_matches_sequential_windows(scene):
+    """Fused multi-window dispatch (make_clip_step: lax.scan over whole window
+    steps, one blocked call for W windows) must carry MosaicState identically
+    to W sequential process_window calls (reference hot loop main.py:1596-1632
+    semantics at clip granularity)."""
+    frames = _synthetic_frames(scene, 9)
+    m1 = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    m1.process_window(np.stack(frames[1:5]))
+    m1.process_window(np.stack(frames[5:9]))
+
+    m2 = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    windows = np.stack([np.stack(frames[1:5]), np.stack(frames[5:9])])
+    aux = m2.process_clip(windows)
+
+    assert np.asarray(aux.ok).shape == (2, 4)
+    assert np.asarray(aux.ok).all()
+    assert np.abs(m1.H_old - m2.H_old).max() < 0.05
+    assert np.abs(m1.output_img - m2.output_img).mean() < 0.5
+    assert m2.state.frame_idx == 9
+
+
+def test_process_clip_with_detection_fn(scene):
+    """Config-3 shape: a jittable per-window detection fn runs inside the fused
+    scan and its outputs stack over windows."""
+    frames = _synthetic_frames(scene, 9)
+    m = VideMosaic(frames[0], detector_type="orb", config=_small_config())
+    windows = np.stack([np.stack(frames[1:5]), np.stack(frames[5:9])])
+    det_fn = lambda fr: jnp.mean(fr.astype(jnp.float32), axis=(1, 2, 3))
+    aux, dets = m.process_clip(windows, det_fn=det_fn)
+    assert np.asarray(dets).shape == (2, 4)
+    expected = windows.astype(np.float32).mean(axis=(2, 3, 4))
+    assert np.abs(np.asarray(dets) - expected).max() < 0.5
