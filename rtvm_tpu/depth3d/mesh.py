@@ -150,10 +150,15 @@ def heightfield_mesh_from_points(
         stacks = np.stack([
             padded[:-2, 1:-1], padded[2:, 1:-1], padded[1:-1, :-2], padded[1:-1, 2:]
         ])
-        with np.errstate(all="ignore"):
-            nb = np.nanmean(stacks, axis=0)
+        # manual nan-mean: np.nanmean warns ("Mean of empty slice") on all-NaN
+        # neighbourhoods, which interior holes always produce in round 1+
+        valid = ~np.isnan(stacks)
+        nbcnt = valid.sum(axis=0)
+        nbsum = np.where(valid, stacks, 0.0).sum(axis=0)
+        nb = np.where(nbcnt > 0, nbsum / np.maximum(nbcnt, 1), np.nan)
         zmap = np.where(holes & ~np.isnan(nb), nb, zmap)
-    zmap = np.nan_to_num(zmap, nan=float(np.nanmean(zmap)))
+    fallback = float(np.nanmean(zmap)) if not np.isnan(zmap).all() else 0.0
+    zmap = np.nan_to_num(zmap, nan=fallback)
 
     ys, xs = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
     vx = mn[0] + xs / (grid - 1) * span[0]

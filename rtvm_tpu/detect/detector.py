@@ -57,6 +57,7 @@ class ObjectDetector:
     ):
         self.model_name = model
         self.weights_loaded = False
+        self.weights_source = "random"  # checkpoint path once loaded (bench provenance)
 
         # Preferred: our own checkpoint trained on synthetic aerial scenes
         # (models/yolo/train_synth.py) — the reference's ultralytics .pt files
@@ -79,6 +80,7 @@ class ObjectDetector:
                 self.variables = load_pytree_npz(npz, dict(self.variables))
                 self.class_names = list(classes)
                 self.weights_loaded = True
+                self.weights_source = npz
                 print(f"Загружены веса: {npz}")
             except Exception as e:
                 print(f"Предупреждение: не удалось загрузить веса {npz}: {e}")
@@ -95,6 +97,7 @@ class ObjectDetector:
 
                     self.variables = convert_to_flax(load_ultralytics_state_dict(path), self.variables)
                     self.weights_loaded = True
+                    self.weights_source = path
                     print(f"Загружены веса: {path}")
                 except Exception as e:  # graceful degradation like reference main.py:42-70
                     print(f"Предупреждение: не удалось загрузить веса {path}: {e}")
@@ -225,7 +228,15 @@ class ObjectDetector:
                     tiles.append(tile)
                     offsets.append((x0, y0))
             if tiles:
-                per_tile = self._run_pass(np.stack(tiles), imgsz=640, conf=0.03, iou=0.5)
+                # With the world model loaded the tiles go through the world
+                # model like the reference (main.py:235-247); closed-set
+                # detector otherwise.
+                if self.model_world is not None:
+                    per_tile = self.model_world.predict_batch(
+                        np.stack(tiles), conf=0.03, iou=0.5
+                    )
+                else:
+                    per_tile = self._run_pass(np.stack(tiles), imgsz=640, conf=0.03, iou=0.5)
                 for dets, (x0, y0) in zip(per_tile, offsets):
                     for d in dets:
                         b = d["bbox"]

@@ -79,25 +79,58 @@ def main(argv=None):
             rhos.append(np.corrcoef(p, t)[0, 1])
         return float(np.mean(errs)), float(np.mean(rhos))
 
-    rng = np.random.RandomState(a.seed + 1)
-    t0 = time.time()
-    for i in range(1, a.steps + 1):
-        imgs, near = make_depth_batch(rng, a.batch, h, w)
-        params, opt_state, loss = step(params, opt_state, jnp.asarray(imgs), jnp.asarray(near))
-        if i % 50 == 0:
-            el = time.time() - t0
-            print(f"step {i}/{a.steps} loss {float(loss):.4f} ({el:.0f}s, {i/el:.1f} it/s)", flush=True)
-        if i % a.eval_every == 0 or i == a.steps:
-            absrel, rho = evaluate(params)
-            print(f"step {i} eval: abs_rel={absrel:.4f} pearson={rho:.4f}", flush=True)
+    # Host-side scene synthesis is ~1.5 s/batch — 30x the device step — so the
+    # loader is a multiprocess prefetch pool (the data-loader role SURVEY
+    # assigns to the runtime layer): workers draw from independent seed streams,
+    # results are consumed in completion order (batch order is irrelevant for
+    # i.i.d. synthetic data).
+    import multiprocessing as mp
+
+    workers = min(8, mp.cpu_count() or 1)
+    pool = mp.get_context("spawn").Pool(workers, initializer=_init_worker, initargs=(h, w, a.batch))
+    pending = [pool.apply_async(_gen_batch, (a.seed + 1 + i,)) for i in range(2 * workers)]
+    next_seed = a.seed + 1 + len(pending)
 
     os.makedirs(a.out_dir, exist_ok=True)
     out = os.path.join(a.out_dir, "depthnet.npz")
-    save_pytree_npz(out, {"params": params})
-    absrel, rho = evaluate(params)
-    with open(os.path.join(a.out_dir, "depthnet.json"), "w") as f:
-        json.dump({"steps": a.steps, "size": [h, w], "abs_rel": absrel, "pearson": rho}, f)
-    print(f"saved {out}: abs_rel={absrel:.4f} pearson={rho:.4f}")
+
+    def save(i):
+        absrel, rho = evaluate(params)
+        save_pytree_npz(out, {"params": params})
+        with open(os.path.join(a.out_dir, "depthnet.json"), "w") as f:
+            json.dump({"steps": i, "size": [h, w], "abs_rel": absrel, "pearson": rho}, f)
+        print(f"step {i} saved {out}: abs_rel={absrel:.4f} pearson={rho:.4f}", flush=True)
+
+    t0 = time.time()
+    try:
+        for i in range(1, a.steps + 1):
+            imgs, near = pending.pop(0).get()
+            pending.append(pool.apply_async(_gen_batch, (next_seed,)))
+            next_seed += 1
+            params, opt_state, loss = step(params, opt_state, jnp.asarray(imgs), jnp.asarray(near))
+            if i % 50 == 0:
+                el = time.time() - t0
+                print(f"step {i}/{a.steps} loss {float(loss):.4f} ({el:.0f}s, {i/el:.1f} it/s)", flush=True)
+            if i % a.eval_every == 0 or i == a.steps:
+                save(i)
+    finally:
+        pool.terminate()
+        pool.join()
+
+
+_WORKER_STATE = {}
+
+
+def _init_worker(h, w, batch):
+    _WORKER_STATE.update(h=h, w=w, batch=batch)
+
+
+def _gen_batch(seed):
+    from rtvm_tpu.models.depth_synth import make_depth_batch
+
+    s = _WORKER_STATE
+    rng = np.random.RandomState(seed)
+    return make_depth_batch(rng, s["batch"], s["h"], s["w"])
 
 
 if __name__ == "__main__":

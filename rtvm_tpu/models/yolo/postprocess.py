@@ -93,21 +93,28 @@ def nms_fixed(
     )
 
 
-def letterbox_params(h: int, w: int, imgsz: int) -> Tuple[float, int, int, int, int]:
-    """Aspect-preserving resize-with-pad geometry (scale, new_h, new_w, pad_y, pad_x)."""
-    scale = min(imgsz / h, imgsz / w)
+def letterbox_params(h: int, w: int, imgsz) -> Tuple[float, int, int, int, int]:
+    """Aspect-preserving resize-with-pad geometry (scale, new_h, new_w, pad_y, pad_x).
+
+    imgsz is a square side (int) or an explicit (out_h, out_w) — rectangular
+    targets skip the square letterbox's dead padding rows (a 360x640 frame into
+    384x640 instead of 640x640 runs the backbone on 40% fewer pixels)."""
+    th, tw = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
+    scale = min(th / h, tw / w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    py, px = (imgsz - nh) // 2, (imgsz - nw) // 2
+    py, px = (th - nh) // 2, (tw - nw) // 2
     return scale, nh, nw, py, px
 
 
-def preprocess_frames(frames_u8: jnp.ndarray, imgsz: int) -> Tuple[jnp.ndarray, float, int, int]:
-    """[B, H, W, 3] BGR uint8 -> [B, imgsz, imgsz, 3] RGB float letterboxed 0..1."""
+def preprocess_frames(frames_u8: jnp.ndarray, imgsz) -> Tuple[jnp.ndarray, float, int, int]:
+    """[B, H, W, 3] BGR uint8 -> [B, th, tw, 3] RGB float letterboxed 0..1.
+    imgsz: square side (int) or explicit (out_h, out_w)."""
     b, h, w, _ = frames_u8.shape
+    th, tw = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
     scale, nh, nw, py, px = letterbox_params(h, w, imgsz)
     x = frames_u8[..., ::-1].astype(jnp.float32) / 255.0  # BGR -> RGB
     x = jax.image.resize(x, (b, nh, nw, 3), method="bilinear")
-    x = jnp.pad(x, ((0, 0), (py, imgsz - nh - py), (px, imgsz - nw - px), (0, 0)),
+    x = jnp.pad(x, ((0, 0), (py, th - nh - py), (px, tw - nw - px), (0, 0)),
                 constant_values=0.447)
     return x, scale, py, px
 

@@ -472,14 +472,15 @@ class VideMosaic:
         frames = jnp.asarray(frames, jnp.uint8)
         step = self._get_step(int(frames.shape[0]))
         self.state, aux = step(self.state, frames, self._key, self._fweight, self._wtable)
+        pad = (0, 0)
         if self.config.auto_grow:
-            self._maybe_grow(aux)
+            pad = self._maybe_grow(aux)
         if self.output_dir and (self.visualize or self.show_intermediate):
             # Throttled: a full-canvas device->host pull per window would stall the
             # TPU pipeline; every 4th window is plenty for progress monitoring.
             self._windows_seen = getattr(self, "_windows_seen", 0) + 1
             if self._windows_seen % 4 == 1:
-                self._dump_intermediate(np.asarray(frames), aux)
+                self._dump_intermediate(np.asarray(frames), aux, pad)
         return aux
 
     def process_clip(self, windows: np.ndarray, det_fn=None):
@@ -500,13 +501,17 @@ class VideMosaic:
         self.state = out[0]
         return out[1] if det_fn is None else (out[1], out[2])
 
-    def _maybe_grow(self, aux: "WindowAux") -> None:
+    def _maybe_grow(self, aux: "WindowAux") -> tuple:
         """Grow-on-demand HBM canvas (config-5 streaming; SURVEY section 5
         'long-video/unbounded canvas'). Host-side check on the window's warped
         corners; growth pads the on-device canvas/union grid and shifts the
         coordinate origin through H_old. Growth amounts are quantized to
         `grow_quantum` px so the window step re-specializes at most a handful
-        of times over an arbitrarily long video."""
+        of times over an arbitrarily long video.
+
+        Returns the (left, top) pad applied — (0, 0) when no growth — so
+        callers can shift coordinates computed in pre-growth canvas space
+        (aux.H_abs is pre-growth; see _dump_intermediate)."""
         cfg = self.config
         h, w = self.frame_shape[:2]
         hc, wc, c = self.canvas_shape
@@ -526,9 +531,20 @@ class VideMosaic:
             xs_all.append(p[0] / den)
             ys_all.append(p[1] / den)
         if not xs_all:
-            return
+            return (0, 0)
         xs_f = np.concatenate(xs_all)
         ys_f = np.concatenate(ys_all)
+        # Look ahead one window: growth is checked AFTER painting, so content
+        # that moves more than grow_margin past the edge within the NEXT window
+        # would be clipped before the next check. Extrapolate the per-frame
+        # drift of the frame centroid over the window length and widen the
+        # extent on the motion side only.
+        if len(xs_all) >= 2:
+            n_ahead = len(hs)
+            vx = float(np.mean(xs_all[-1]) - np.mean(xs_all[-2]))
+            vy = float(np.mean(ys_all[-1]) - np.mean(ys_all[-2]))
+            xs_f = np.concatenate([xs_f, xs_all[-1] + vx * n_ahead])
+            ys_f = np.concatenate([ys_f, ys_all[-1] + vy * n_ahead])
         m, q = cfg.grow_margin, cfg.grow_quantum
 
         def need(amount):
@@ -539,7 +555,7 @@ class VideMosaic:
         right = need(xs_f.max() - (wc - 1 - m))
         bottom = need(ys_f.max() - (hc - 1 - m))
         if not (left or top or right or bottom):
-            return
+            return (0, 0)
         st = self.state
         canvas = jnp.pad(st.canvas, ((0, 0), (top, bottom), (left, right)))
         cell = warp_ops.CELL_PX
@@ -557,6 +573,7 @@ class VideMosaic:
         self.canvas_shape = (hc + top + bottom, wc + left + right, c)
         self.w_offset += top
         self.h_offset += left
+        return (left, top)
 
     def process_frame(self, frame_cur, frame_count: int = 0) -> bool:
         """Reference-parity single-frame path (main.py:710). Returns True if the frame's
@@ -622,11 +639,13 @@ class VideMosaic:
             cv2.line(canvas, p1, p2, colr, 1)
         return canvas
 
-    def _dump_intermediate(self, frames: np.ndarray, aux: "WindowAux"):
+    def _dump_intermediate(self, frames: np.ndarray, aux: "WindowAux", pad=(0, 0)):
         """Per-window debug artifacts when show_intermediate/visualize are on and an
         output_dir exists (headless stand-in for the reference's cv2.imshow windows,
         main.py:700-708,751): mosaic_progress.jpg with the last frame's border, and
-        matches.jpg for the window's final frame pair."""
+        matches.jpg for the window's final frame pair. `pad` is the (left, top)
+        auto-grow pad applied after this window's step: aux.H_abs is expressed
+        in PRE-growth canvas coordinates, so the drawn border must shift."""
         import os
 
         import cv2
@@ -636,6 +655,7 @@ class VideMosaic:
             img = self.output_img_u8.copy()
             H_last = np.asarray(aux.H_abs)[-1]
             corners = self.get_transformed_corners(frames[-1], H_last)
+            corners = corners + np.asarray(pad, corners.dtype)
             self.draw_border(img, corners)
             cv2.imwrite(os.path.join(self.output_dir, "mosaic_progress.jpg"), img)
         if self.visualize and len(frames) >= 2:

@@ -91,14 +91,19 @@ def extract_patches_batch(imgs: jnp.ndarray, xy: jnp.ndarray, patch: int = PATCH
     b, h, w = imgs.shape
     half = patch // 2
     wp = -(-w // 128) * 128
-    big = jnp.pad(imgs, ((0, 0), (0, 0), (0, wp - w))).reshape(b * h, wp)
-    if (b * h) % 2:  # odd total rows: pad one row so the interleave reshape works
+    # 2 zero rows per image keep the interleave's extra row in-bounds for
+    # bottom-edge keypoints WITHOUT shifting their patches (the pad rows are
+    # sliced into the (patch+2)-row block but never parity-selected into the
+    # output patch).
+    hp = h + 2
+    big = jnp.pad(imgs, ((0, 0), (0, 2), (0, wp - w))).reshape(b * hp, wp)
+    if (b * hp) % 2:  # odd total rows: pad one row so the interleave reshape works
         big = jnp.pad(big, ((0, 1), (0, 0)))
     rows2 = big.shape[0] // 2
     inter = big.reshape(rows2, 2, wp).transpose(0, 2, 1).reshape(rows2, 2 * wp)
 
-    ys = jnp.clip(xy[..., 1].astype(jnp.int32) - half, 0, h - patch - 2)
-    ys = (ys + jnp.arange(b, dtype=jnp.int32)[:, None] * h).reshape(-1)
+    ys = jnp.clip(xy[..., 1].astype(jnp.int32) - half, 0, max(h - patch, 0))
+    ys = (ys + jnp.arange(b, dtype=jnp.int32)[:, None] * hp).reshape(-1)
     xs = jnp.clip(xy[..., 0].astype(jnp.int32) - half, 0, w - patch).reshape(-1)
     par = ys % 2
     ybase = ys // 2

@@ -86,10 +86,12 @@ def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
     nl, h, w = dogs.shape
     mid = dogs[1:-1]  # [S, H, W] candidate layers
 
+    # maxpool3x3 pools spatially per level, so the mid levels' own-layer pools
+    # are exactly pmax[1:-1] / pmin[1:-1] — reuse instead of 2 more pool passes
     pmax = maxpool3x3(dogs)
     pmin = -maxpool3x3(-dogs)
-    is_max = (mid >= pmax[:-2]) & (mid >= pmax[2:]) & (mid >= maxpool3x3(mid) - 1e-12) & (mid > 0)
-    is_min = (mid <= pmin[:-2]) & (mid <= pmin[2:]) & (mid <= -maxpool3x3(-mid) + 1e-12) & (mid < 0)
+    is_max = (mid >= pmax[:-2]) & (mid >= pmax[2:]) & (mid >= pmax[1:-1] - 1e-12) & (mid > 0)
+    is_min = (mid <= pmin[:-2]) & (mid <= pmin[2:]) & (mid <= pmin[1:-1] + 1e-12) & (mid < 0)
     score = jnp.abs(mid)
     extremum = (is_max | is_min) & (score > contrast_threshold)
 
@@ -256,7 +258,7 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
     # direct-from-base sigma deltas for the fused per-octave blur (semigroup)
     deltas = np.sqrt(np.maximum(sigmas**2 - sigmas[0] ** 2, 0.0))
 
-    xs_all, desc_all, valid_all = [], [], []
+    xs_all, patch_all, valid_all = [], [], []
     base = gaussian_blur(img, float(np.sqrt(max(sigma0**2 - 0.25, 0.01))))
     for o in range(octaves):
         gauss = _octave_levels(base, deltas)  # [s+3, H, W]
@@ -266,19 +268,23 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
             dogs, quotas[o], cfg.sift_contrast_threshold, 10.0, cfg.border_margin
         )
         patches = _extract_level_patches(gauss[1 : s + 1], xy, lvl)
-        # descriptor support radius ~ 6 * sigma of the mid level
-        theta, desc = _orientation_and_descriptors(patches, valid, sigma_desc=6.0 * float(sigmas[s // 2 + 1]))
 
-        scale = float(2**o)
-        xs_all.append(xy * scale)
-        desc_all.append(desc)
+        xs_all.append(xy * float(2**o))
+        patch_all.append(patches)
         valid_all.append(valid)
 
         if o + 1 < octaves:
             base = gauss[s][::2, ::2]
 
+    # one orientation+descriptor pass over ALL octaves' patches: sigma_desc is
+    # octave-independent (octave scale lives in the downsampling), so a single
+    # [K, P, P] batch replaces 4 small einsum sets — far better MXU tiling for
+    # the coarse octaves' tiny quotas
     xy = jnp.concatenate(xs_all, axis=0)
-    desc = jnp.concatenate(desc_all, axis=0)
+    patches = jnp.concatenate(patch_all, axis=0)
     valid = jnp.concatenate(valid_all, axis=0)
+    _theta, desc = _orientation_and_descriptors(
+        patches, valid, sigma_desc=6.0 * float(sigmas[s // 2 + 1])
+    )
     xy = jnp.where(valid[:, None], xy, 0.0)
     return xy, desc, valid

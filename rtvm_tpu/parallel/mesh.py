@@ -132,6 +132,95 @@ def dryrun_multichip(n_devices: int) -> None:
     )
 
     _dryrun_yolo_train(mesh)
+    _dryrun_detection_dp(mesh)
+
+    import os
+
+    if os.environ.get("RTVM_DRYRUN_PROD", "1") != "0":
+        _dryrun_production(mesh)
+
+
+def _dryrun_detection_dp(mesh: Mesh) -> None:
+    """dp-sharded batched detection inference (SURVEY section 2.7: the detection
+    batch is THE dp axis for multi-chip). Full jitted path: preprocess ->
+    backbone -> decode -> per-frame NMS, batch sharded over dp."""
+    import jax.numpy as jnp
+
+    from rtvm_tpu.models.yolo.model import build_yolo
+    from rtvm_tpu.models.yolo import postprocess as pp
+
+    dp = mesh.devices.shape[0]
+    b = max(2, dp)
+    model, variables = build_yolo("yolov8n", num_classes=8, imgsz=128)
+
+    def infer(frames_u8):
+        x = frames_u8[..., ::-1].astype(jnp.float32) / 255.0
+        box_l, cls_l = model.apply(variables, x, train=False)
+        boxes, scores = pp.decode_predictions(box_l, cls_l, model.cfg.strides, model.cfg.reg_max)
+        return jax.vmap(lambda bx, sc: pp.nms_fixed(bx, sc, 0.25, 0.45))(boxes, scores)
+
+    dp_sh = NamedSharding(mesh, P("dp", None, None, None))
+    step = jax.jit(infer, in_shardings=(dp_sh,))
+    rng = np.random.RandomState(2)
+    frames = jax.device_put(
+        jnp.asarray(rng.randint(0, 255, (b, 128, 128, 3), dtype=np.uint8)), dp_sh
+    )
+    det = step(frames)
+    jax.block_until_ready(det.boxes)
+    print(f"dp detection dryrun ok: batch={b} boxes={det.boxes.shape} mesh={mesh.devices.shape}")
+
+
+def _dryrun_production(mesh: Mesh) -> None:
+    """One PRODUCTION-shape sharded window step (round-2 VERDICT item 5): real
+    360p frames (360x640), K=700 keypoints, the real 720x768 canvas, window 8 —
+    the exact shapes the single-chip bench runs, on the virtual mesh."""
+    import jax.numpy as jnp
+
+    from rtvm_tpu.config import MosaicConfig
+    from rtvm_tpu.mosaic import stitcher as S
+
+    h, w, b = 360, 640, 8
+    cfg = MosaicConfig(window_size=b)  # defaults: K=700, canvas 2.0x1.2
+    rng = np.random.RandomState(1)
+    base = rng.randint(0, 255, (h + 2 * b, w + 2 * b, 3), dtype=np.uint8)
+    first = base[:h, :w].copy()
+    frames = np.stack([base[2 * i : 2 * i + h, 2 * i : 2 * i + w] for i in range(b)])
+
+    m = S.VideMosaic(first, detector_type="orb", config=cfg)
+    # m.config carries the orb detector replacement — the raw cfg would build a
+    # SIFT step against ORB descriptors in the state
+    step_py = S.make_window_step((h, w, 3), m.config).__wrapped__
+
+    repl = NamedSharding(mesh, P())
+    state_sh = S.MosaicState(
+        canvas=NamedSharding(mesh, P(None, "tp", None)),
+        union_coarse=NamedSharding(mesh, P("tp", None)),
+        H_old=repl, kp=repl, desc=repl, kp_valid=repl,
+        hbuf=repl, hcount=repl, frame_idx=repl,
+    )
+    aux_sh = S.WindowAux(
+        num_matches=repl, num_inliers=repl, H_abs=repl, ok=repl,
+        blended=repl, two_pass=repl,
+    )
+    frames_sh = NamedSharding(mesh, P("dp", None, None, None))
+    step = jax.jit(
+        step_py,
+        in_shardings=(state_sh, frames_sh, repl, repl, repl),
+        out_shardings=(state_sh, aux_sh),
+    )
+    st = jax.device_put(m.state, state_sh)
+    fr = jax.device_put(jnp.asarray(frames), frames_sh)
+    new_state, aux = step(
+        st, fr, m._key, jax.device_put(m._fweight, repl), jax.device_put(m._wtable, repl)
+    )
+    jax.block_until_ready(new_state.canvas)
+    ok = int(np.asarray(aux.ok).sum())
+    assert int(new_state.frame_idx) == b + 1
+    print(
+        f"production dryrun ok: 360p window={b} K={cfg.features.max_keypoints} "
+        f"canvas={new_state.canvas.shape} ok_frames={ok}/{b} "
+        f"sharding={new_state.canvas.sharding.spec}"
+    )
 
 
 def _dryrun_yolo_train(mesh: Mesh) -> None:

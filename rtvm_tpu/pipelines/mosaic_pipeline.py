@@ -38,13 +38,25 @@ def run_mosaic(
     show_intermediate: bool = False,
     visualize: bool = False,
     viz_dir: Optional[str] = None,
+    fused: bool = False,
 ) -> tuple[VideMosaic, dict]:
     """Stitch a whole video. Returns (stitcher, stats).
 
     update_callback(frame_count, mosaic_u8, progress_pct) mirrors the reference protocol
     (main.py:1630-1632) but is invoked per window (a full-canvas device->host copy per
     frame would throttle the TPU for no benefit).
+
+    fused=True pre-decodes the video and runs ALL full windows as ONE device
+    dispatch (VideMosaic.process_clip: lax.scan over window steps) — the fast
+    path when no per-window observability is needed; callbacks/progress then
+    fire once at the end, and auto-grow/intermediate dumps are unavailable.
     """
+    if fused:
+        return _run_mosaic_fused(
+            video_path, config=config, detector_type=detector_type,
+            update_callback=update_callback, max_frames=max_frames,
+            timer=timer, per_frame_detector=per_frame_detector,
+        )
     config = config or MosaicConfig()
     timer = timer or StageTimer()
     reader = VideoReader(video_path, window=config.window_size, max_frames=max_frames)
@@ -119,6 +131,75 @@ def run_mosaic(
     }
     if per_frame_detector is not None:
         stats["per_frame_detections"] = sum(len(d) for d in per_frame_dets)
+    return mosaic, stats
+
+
+def _run_mosaic_fused(
+    video_path: str,
+    config: Optional[MosaicConfig] = None,
+    detector_type: str = "sift",
+    update_callback: Optional[Callable] = None,
+    max_frames: Optional[int] = None,
+    timer: Optional[StageTimer] = None,
+    per_frame_detector=None,
+) -> tuple[VideMosaic, dict]:
+    """Fused whole-clip path: decode everything, then stitch all full windows in
+    one blocked dispatch (+ optional batched per-frame detection INSIDE the same
+    dispatch, BASELINE config 3); tail frames (< one window) run via the normal
+    per-window step."""
+    import jax
+
+    config = config or MosaicConfig()
+    timer = timer or StageTimer()
+    B = config.window_size
+
+    with timer.stage("decode"):
+        reader = VideoReader(video_path, window=B, max_frames=max_frames)
+        mosaic = VideMosaic(
+            reader.first_frame,
+            detector_type=detector_type,
+            config=config,
+        )
+        wins, valids = [], []
+        for frames, n_valid in reader.windows():
+            wins.append(frames)
+            valids.append(n_valid)
+
+    det_fn = None
+    if per_frame_detector is not None:
+        run = per_frame_detector._infer_fn(640, 0.25, 0.45)
+        det_fn = lambda fr: run(fr)
+
+    full = [w for w, v in zip(wins, valids) if v == B]
+    tail = [(w, v) for w, v in zip(wins, valids) if v < B]
+
+    t0 = time.perf_counter()
+    aux = dets = None
+    if full:
+        with timer.stage("clip"):
+            out = mosaic.process_clip(np.stack(full), det_fn=det_fn)
+            aux, dets = out if det_fn is not None else (out, None)
+            jax.block_until_ready(mosaic.state.canvas)
+    for frames, n_valid in tail:
+        with timer.stage("window"):
+            mosaic.process_window(frames)
+    np.asarray(mosaic.state.frame_idx)
+    elapsed = time.perf_counter() - t0
+
+    frames_total = 1 + sum(valids)
+    ok = int(np.asarray(aux.ok).sum()) if aux is not None else 0
+    if update_callback is not None:
+        update_callback(frames_total, mosaic.output_img_u8, 100.0)
+    stats = {
+        "frames": frames_total,
+        "accepted": ok,
+        "elapsed_s": elapsed,
+        "fps": frames_total / elapsed if elapsed > 0 else 0.0,
+        "decode_s": timer.totals.get("decode", 0.0),
+        "fused_windows": len(full),
+    }
+    if dets is not None:
+        stats["det_scores_shape"] = tuple(np.asarray(dets.scores).shape)
     return mosaic, stats
 
 

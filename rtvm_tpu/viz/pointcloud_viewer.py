@@ -101,9 +101,11 @@ def view_mesh_matplotlib(obj_path: str, save_path: Optional[str] = None) -> str:
 
 
 def view_interactive(path: str, save_path: Optional[str] = None) -> str:
-    """Browser-style interactive view (reference interactive_3d_viewer.py:26-98
-    Plotly Scatter3d with 100k subsample). Falls back to a static matplotlib PNG
-    when Plotly is unavailable."""
+    """Browser-style interactive cloud view (reference
+    interactive_3d_viewer.py:26-98 Plotly Scatter3d with 100k subsample). Uses
+    Plotly when importable; otherwise writes a self-contained vanilla-JS HTML
+    viewer (viz/html3d.py) — still fully interactive, zero dependencies."""
+    out = save_path or os.path.splitext(path)[0] + "_interactive.html"
     try:
         import plotly.graph_objects as go  # pragma: no cover - not in this env
 
@@ -118,11 +120,35 @@ def view_interactive(path: str, save_path: Optional[str] = None) -> str:
             data=[go.Scatter3d(x=pts[:, 0], y=pts[:, 1], z=pts[:, 2],
                                mode="markers", marker=dict(size=1.5, color=colors))]
         )
-        out = save_path or os.path.splitext(path)[0] + "_interactive.html"
         fig.write_html(out)
         return out
     except Exception:
-        return view_matplotlib(path, save_path)
+        from rtvm_tpu.viz.html3d import write_cloud_html
+
+        pts, cols = load_point_cloud(path)
+        return write_cloud_html(pts, cols, out, title=os.path.basename(path))
+
+
+def view_mesh_interactive(obj_path: str, save_path: Optional[str] = None) -> str:
+    """Interactive mesh view with z-intensity shading (reference
+    interactive_3d_viewer.py:101-167 Plotly Mesh3d counterpart)."""
+    from rtvm_tpu.viz.html3d import write_mesh_html
+
+    v, f = read_obj_mesh(obj_path)
+    out = save_path or os.path.splitext(obj_path)[0] + "_interactive.html"
+    return write_mesh_html(v, f, out, title=os.path.basename(obj_path))
+
+
+def view_side_by_side(ply_path: str, obj_path: str,
+                      save_path: Optional[str] = None) -> str:
+    """Cloud + mesh side-by-side with an X offset (reference
+    interactive_3d_viewer.py:170-240)."""
+    from rtvm_tpu.viz.html3d import write_side_by_side_html
+
+    pts, cols = load_point_cloud(ply_path)
+    v, f = read_obj_mesh(obj_path)
+    out = save_path or os.path.splitext(ply_path)[0] + "_side_by_side.html"
+    return write_side_by_side_html(pts, cols, v, f, out)
 
 
 def scan_and_describe(directory: str = ".") -> list:

@@ -167,3 +167,29 @@ def test_trained_depthnet_quality():
     pred = np.asarray(model.apply(variables, jnp.asarray(imgs))[..., 0])
     rhos = [np.corrcoef(pred[i].ravel(), near[i].ravel())[0, 1] for i in range(4)]
     assert float(np.mean(rhos)) > 0.6, rhos
+
+
+def test_depth_estimator_fallback_ordering(monkeypatch):
+    """Pin the hub -> flax -> heuristic resolution order (round-2 VERDICT weak
+    item 7: the fallback chain had no test). prefer_hub=False must land on the
+    Flax net; a failing Flax build must land on the heuristic; both must emit
+    a normalized [0,1] depth of the input shape."""
+    import rtvm_tpu.depth3d.estimator as est_mod
+    from rtvm_tpu.depth3d.estimator import MonocularDepthEstimator
+
+    img = (np.random.RandomState(0).rand(60, 80, 3) * 255).astype(np.uint8)
+
+    e = MonocularDepthEstimator(prefer_hub=False)
+    assert e.backend == "flax"
+    d = e.estimate_depth(img)
+    assert d.shape == (60, 80) and 0.0 <= d.min() and d.max() <= 1.0
+
+    def boom(*a, **k):
+        raise RuntimeError("no flax today")
+
+    import rtvm_tpu.models.depthnet as dn
+    monkeypatch.setattr(dn, "build_depthnet", boom)
+    e2 = MonocularDepthEstimator(prefer_hub=False)
+    assert e2.backend == "heuristic"
+    d2 = e2.estimate_depth(img)
+    assert d2.shape == (60, 80) and 0.0 <= d2.min() and d2.max() <= 1.0

@@ -126,5 +126,32 @@ def test_trained_checkpoint_detection_quality():
     imgs, gtb, gtc = make_eval_set(n=16, size=320, seed=424242)  # unseen seed
     dets = predict_scenes(model, variables, imgs, conf=0.25, bf16=False)
     report = evaluate_map(dets, gtb, gtc, AERIAL_CLASSES)
-    assert report["mAP50"] >= 0.5, report
-    assert report["person"] >= 0.3, report  # tiny-object regression gate
+    # Ratcheted to just under measured (round-2 VERDICT item 6): the committed
+    # checkpoint scores mAP50 0.932 / person AP 0.909 on this eval seed.
+    assert report["mAP50"] >= 0.85, report
+    assert report["person"] >= 0.80, report  # tiny-object regression gate
+
+
+def test_rectangular_letterbox_matches_square_geometry():
+    """Rectangular imgsz (out_h, out_w) must reproduce the square path's scale
+    and map boxes back to the same original-image pixels (the config-3 bench
+    runs detection at (384, 640) to skip the square letterbox's dead rows)."""
+    h, w = 360, 640
+    s_sq, nh_sq, nw_sq, _, _ = pp.letterbox_params(h, w, 640)
+    s_r, nh_r, nw_r, py_r, px_r = pp.letterbox_params(h, w, (384, 640))
+    assert (s_r, nh_r, nw_r) == (s_sq, nh_sq, nw_sq)  # same content scale
+    assert (py_r, px_r) == ((384 - 360) // 2, 0)
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 255, (2, h, w, 3), dtype=np.uint8)
+    x, scale, py, px = pp.preprocess_frames(jnp.asarray(frames), (384, 640))
+    assert x.shape == (2, 384, 640, 3)
+    # content band equals the square path's content (same resize, no x pad)
+    x_sq, _, py_sq, px_sq = pp.preprocess_frames(jnp.asarray(frames), 640)
+    band_r = np.asarray(x[:, py : py + nh_r])
+    band_sq = np.asarray(x_sq[:, py_sq : py_sq + nh_sq, px_sq : px_sq + nw_sq])
+    np.testing.assert_allclose(band_r, band_sq, atol=1e-6)
+    # boxes round-trip to original pixels
+    boxes = jnp.asarray([[10.0, float(py), 100.0, float(py + 50)]])
+    back = np.asarray(pp.unletterbox_boxes(boxes, scale, py, px))
+    np.testing.assert_allclose(back[0], [10.0 / scale, 0.0, 100.0 / scale, 50.0 / scale], atol=1e-5)

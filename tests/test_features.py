@@ -139,6 +139,31 @@ def test_sift_inlier_parity_vs_cv2_on_real_frames():
     _, mask2 = cv2.findHomography(s, d, cv2.RANSAC, 2.0)
     our_inliers = int(mask2.sum())
 
-    # Within 20% of OpenCV's inlier count at the same keypoint budget
-    # (measured: ours 374 vs cv2 424 on this pair).
-    assert our_inliers >= max(30, int(0.8 * cv2_inliers)), (our_inliers, cv2_inliers)
+    # Within 15% of OpenCV's inlier count at the same keypoint budget
+    # (measured: ours 374 vs cv2 424 = 88% on this pair; round-2 VERDICT asks
+    # the floor to sit just under the measured value so regressions fail loud).
+    assert our_inliers >= max(30, int(0.85 * cv2_inliers)), (our_inliers, cv2_inliers)
+
+
+def test_extract_patches_exact_incl_bottom_edge():
+    """Patches must equal the direct numpy crop for ALL keypoint rows,
+    including within 2 px of the bottom edge (round-2 ADVICE: the interleave's
+    extra row used to tighten the clip and shift bottom-edge patches)."""
+    rng = np.random.RandomState(3)
+    h, w, patch = 64, 200, orb_ops.PATCH
+    imgs = rng.randint(0, 255, (2, h, w)).astype(np.float32)
+    half = patch // 2
+    # keypoints straddling every edge regime, incl. y near h-1
+    xy = np.array(
+        [[half, half], [w - half - 1, h - half - 1], [50, h - 1], [60, h - 2],
+         [70, h - half], [80, half - 3], [90, 33]],
+        np.float32,
+    )
+    xys = np.stack([xy, xy[::-1]])
+    out = np.asarray(orb_ops.extract_patches_batch(jnp.asarray(imgs), jnp.asarray(xys)))
+    for b in range(2):
+        for k, (x, y) in enumerate(xys[b]):
+            y0 = int(np.clip(int(y) - half, 0, h - patch))
+            x0 = int(np.clip(int(x) - half, 0, w - patch))
+            expect = imgs[b, y0 : y0 + patch, x0 : x0 + patch]
+            assert np.array_equal(out[b, k], expect), (b, k, x, y)

@@ -109,3 +109,33 @@ def test_fidelity_psnr_real_clip_128_frames():
         pytest.skip("bundled drone clip not available")
     p = mosaic_psnr_vs_opencv(clip, n_frames=128, window=16, detector="orb")
     assert p >= 40.0, p
+
+
+def test_run_mosaic_fused_matches_windowed(tmp_path):
+    """fused=True (whole-clip single dispatch via process_clip) must produce the
+    same mosaic as the per-window loop on a short synthetic video."""
+    import cv2
+
+    from rtvm_tpu.config import MosaicConfig
+    from rtvm_tpu.pipelines.mosaic_pipeline import run_mosaic
+
+    rng = np.random.RandomState(5)
+    h, w, n = 120, 200, 9
+    base = rng.randint(0, 255, (h + 2 * n, w + 2 * n, 3), dtype=np.uint8)
+    base = cv2.GaussianBlur(base, (0, 0), 1.0)
+    for _ in range(30):
+        x, y = rng.randint(10, w), rng.randint(10, h)
+        cv2.rectangle(base, (x, y), (x + 14, y + 10),
+                      tuple(int(v) for v in rng.randint(0, 255, 3)), -1)
+    path = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    for i in range(n):
+        vw.write(base[2 * i : 2 * i + h, 2 * i : 2 * i + w])
+    vw.release()
+
+    cfg = MosaicConfig(window_size=4)
+    m1, s1 = run_mosaic(path, config=cfg, detector_type="orb")
+    m2, s2 = run_mosaic(path, config=cfg, detector_type="orb", fused=True)
+    assert s2["frames"] == s1["frames"]
+    assert s2["fused_windows"] == 2
+    assert np.abs(m1.output_img - m2.output_img).mean() < 0.5

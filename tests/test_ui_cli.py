@@ -99,3 +99,33 @@ def test_web_routes(web_server, tmp_path):
     assert "mosaic.jpg" in res["files"]
     body = urllib.request.urlopen(base + "/results-files/mosaic.jpg").read()
     assert body == b"notajpeg"
+
+
+def test_interactive_html_viewers(tmp_path, rng):
+    """Plotly-counterpart interactive viewers (VERDICT r2 item 9): cloud,
+    Mesh3d-style mesh with vertex colors, and side-by-side cloud+mesh must all
+    emit self-contained interactive HTML (works without plotly in this env)."""
+    from rtvm_tpu.io.ply import write_obj_mesh, write_ply_points
+    from rtvm_tpu.viz.pointcloud_viewer import (
+        view_interactive, view_mesh_interactive, view_side_by_side,
+    )
+
+    pts = rng.rand(300, 3).astype(np.float32)
+    cols = (rng.rand(300, 3) * 255).astype(np.uint8)
+    ply = str(tmp_path / "cloud.ply")
+    write_ply_points(ply, pts, cols)
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 1, 3], [1, 2, 3]], np.int32)
+    obj = str(tmp_path / "mesh.obj")
+    write_obj_mesh(obj, verts, faces)
+
+    out1 = view_interactive(ply)
+    out2 = view_mesh_interactive(obj)
+    out3 = view_side_by_side(ply, obj)
+    for out, needle in ((out1, '"points"'), (out2, '"mesh"'), (out3, '"xoff"')):
+        assert out.endswith(".html") and os.path.exists(out)
+        html = open(out).read()
+        assert "<canvas" in html and "SCENE" in html and needle in html
+    # side-by-side contains both object kinds, mesh shifted in +x
+    html3 = open(out3).read()
+    assert html3.count('"kind"') == 2

@@ -112,6 +112,33 @@ class App:
             p = os.path.join(out_dir, "mosaic.jpg")
         if os.path.exists(p):
             self._show_image(cv2.imread(p))
+        self._open_detection_popups(out_dir)
+
+    def _open_detection_popups(self, out_dir: str, limit: int = 6):
+        """Per-detection Toplevel windows for Detections/ images (reference
+        gui.py:160-168 opens one popup per saved detection file)."""
+        import glob
+
+        import cv2
+
+        det_dir = os.path.join(out_dir, "Detections")
+        if not os.path.isdir(det_dir):
+            return
+        files = sorted(glob.glob(os.path.join(det_dir, "*.jpg")))[:limit]
+        for f in files:
+            try:
+                from PIL import Image, ImageTk
+
+                win = tk.Toplevel(self.root)
+                win.title(os.path.basename(f))
+                img = Image.fromarray(cv2.imread(f)[..., ::-1])
+                img.thumbnail((520, 380))
+                photo = ImageTk.PhotoImage(img)
+                lbl = tk.Label(win, image=photo)
+                lbl.image = photo
+                lbl.pack()
+            except Exception:
+                continue
 
 
 def main():
