@@ -32,7 +32,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtvm_tpu.ops.features.fast import topk2d_blocked
-from rtvm_tpu.ops.filters import gaussian_blur, gaussian_kernel1d, maxpool3x3
+from rtvm_tpu.ops.filters import (
+    gaussian_blur,
+    gaussian_kernel1d,
+    maxpool3x3,
+    minmaxpool3x3,
+)
 
 PATCH = 32  # descriptor patch side (octave pixels)
 N_ROT_BINS = 16  # quantized keypoint-angle bins for the spatial weight tables
@@ -81,23 +86,102 @@ def _band_matrices(deltas_key: tuple, h: int, w: int):
     return Bx, By
 
 
+def _tile_for(n: int) -> tuple[int, int]:
+    """(tile, n_tiles): 128 for MXU-sized axes, one padded tile for small ones."""
+    t = 128 if n >= 192 else max(8, ((n + 7) // 8) * 8)
+    return t, (n + t - 1) // t
+
+
+@functools.lru_cache(maxsize=32)
+def _blocked_band_weights(deltas_key: tuple, h: int, w: int):
+    """Per-level separable blurs as BLOCK-banded matmul weights.
+
+    The dense [W, W] band matrices (_band_matrices) waste W/(2r+1) ~ 4-20x
+    FLOPs on zeros outside the band. Tiling output columns into 128-wide
+    blocks shrinks each matmul to [tile+2r, tile] — ~4x fewer FLOPs at 360p
+    with MXU-friendly shapes. Edge-replicate padding folds into the border
+    tiles' weights (input is zero-padded by `rad`, clipped taps accumulate
+    onto valid columns). Returns (Wx [L,Tw,tw+2r,tw], Wy [L,Th,th,th+2r],
+    rad, tw, Tw, th, Th)."""
+    deltas = np.asarray(deltas_key, np.float64)
+    L = len(deltas)
+    rad = max(1, int(math.ceil(3.0 * float(deltas.max()))))
+    tw, Tw = _tile_for(w)
+    th, Th = _tile_for(h)
+    Wx = np.zeros((L, Tw, tw + 2 * rad, tw), np.float32)
+    Wy = np.zeros((L, Th, th, th + 2 * rad), np.float32)
+    for li, d in enumerate(deltas):
+        taps = gaussian_kernel1d(float(d), rad)
+        for t in range(Tw):
+            j = np.arange(tw)
+            J = t * tw + j
+            ok = J < w
+            for k in range(2 * rad + 1):
+                q = np.clip(J + (k - rad), 0, w - 1) + rad - t * tw
+                np.add.at(Wx[li, t], (q[ok], j[ok]), taps[k])
+        for t in range(Th):
+            i = np.arange(th)
+            I = t * th + i
+            ok = I < h
+            for k in range(2 * rad + 1):
+                q = np.clip(I + (k - rad), 0, h - 1) + rad - t * th
+                np.add.at(Wy[li, t], (i[ok], q[ok]), taps[k])
+    return Wx, Wy, rad, tw, Tw, th, Th
+
+
 def _octave_levels(base: jnp.ndarray, deltas: np.ndarray) -> jnp.ndarray:
-    """All Gaussian levels of one octave as TWO batched dense matmuls.
+    """All Gaussian levels of one octave as TWO batched block-banded matmuls.
 
     base [H, W]; deltas[l] = sqrt(sigma_l^2 - sigma_base^2) (0 for level 0).
-    Every level is blurred DIRECTLY from the base (Gaussian semigroup), with
-    the separable blur expressed as banded-matrix matmuls (_band_matrices) so
-    the MXU does the work. Precision.HIGH (bf16x3) keeps ~1e-6 relative error
-    — two decades below the smallest DoG contrasts (~1e-3) the detector
+    Every level is blurred DIRECTLY from the base (Gaussian semigroup) so the
+    L levels batch into one einsum; zero-delta levels are the base itself and
+    skip the matmuls entirely. Precision.HIGH (bf16x3) keeps ~1e-6 relative
+    error — two decades below the smallest DoG contrasts (~1e-3) the detector
     thresholds on. Returns [L, H, W]."""
     h, w = base.shape
-    Bx, By = _band_matrices(tuple(round(float(d), 6) for d in deltas), h, w)
-    x = jnp.einsum(
-        "hw,lwW->lhW", base, jnp.asarray(Bx), precision=jax.lax.Precision.HIGH
-    )
-    return jnp.einsum(
-        "lhH,lHw->lhw", jnp.asarray(By), x, precision=jax.lax.Precision.HIGH
-    )
+    nz = [i for i, d in enumerate(deltas) if float(d) > 1e-6]
+    if not nz:
+        return jnp.broadcast_to(base, (len(deltas), h, w))
+    dk = tuple(round(float(deltas[i]), 6) for i in nz)
+    Wx, Wy, rad, tw, Tw, th, Th = _blocked_band_weights(dk, h, w)
+    hi = jax.lax.Precision.HIGH
+    Wxj = jnp.asarray(Wx)
+    del Wy  # y-pass uses the dense matrices (layout note below)
+    # Per-tile einsums + concat along exact tile boundaries (128 cols / 128
+    # rows) lower to contiguous copies; a single einsum with a tile batch dim
+    # needs a moveaxis relayout afterwards that TPU executes as a slow
+    # lane-crossing transpose.
+    P = jnp.pad(base, ((0, 0), (rad, rad + Tw * tw - w)))
+    X = jnp.concatenate(
+        [
+            jnp.einsum(
+                "hc,lcj->lhj",
+                jax.lax.slice_in_dim(P, t * tw, t * tw + tw + 2 * rad, axis=1),
+                Wxj[:, t],
+                precision=hi,
+            )
+            for t in range(Tw)
+        ],
+        axis=-1,
+    )[:, :, :w]  # [L, H, W]
+    # y-pass stays DENSE [H, H]: a row-tiled y output (concat along the
+    # sublane-major axis) carries a compiler layout that demotes the
+    # downstream per-keypoint patch dynamic_slices from sliced-DMA to a
+    # gather-style copy (measured 0.11 -> 1.1 ms/frame on the descriptor
+    # path); the dense einsum's plain [L, H, W] output keeps them fast, and
+    # the x-pass already removed ~60% of the pyramid FLOPs.
+    _, By = _band_matrices(dk, h, w)
+    Y = jnp.einsum("lhH,lHw->lhw", jnp.asarray(By), X, precision=hi)
+    if len(nz) == len(deltas):
+        return Y
+    out, j = [], 0
+    for d in deltas:
+        if float(d) > 1e-6:
+            out.append(Y[j])
+            j += 1
+        else:
+            out.append(base)
+    return jnp.stack(out)
 
 
 def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
@@ -106,10 +190,10 @@ def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
     nl, h, w = dogs.shape
     mid = dogs[1:-1]  # [S, H, W] candidate layers
 
-    # maxpool3x3 pools spatially per level, so the mid levels' own-layer pools
-    # are exactly pmax[1:-1] / pmin[1:-1] — reuse instead of 2 more pool passes
-    pmax = maxpool3x3(dogs)
-    pmin = -maxpool3x3(-dogs)
+    # minmaxpool3x3 pools spatially per level sharing one set of shifted
+    # views, so the mid levels' own-layer pools are exactly pmax[1:-1] /
+    # pmin[1:-1] — reuse instead of 2 more pool passes
+    pmax, pmin = minmaxpool3x3(dogs)
     is_max = (mid >= pmax[:-2]) & (mid >= pmax[2:]) & (mid >= pmax[1:-1] - 1e-12) & (mid > 0)
     is_min = (mid <= pmin[:-2]) & (mid <= pmin[2:]) & (mid <= pmin[1:-1] + 1e-12) & (mid < 0)
     score = jnp.abs(mid)
@@ -194,6 +278,12 @@ def _extract_level_patches(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.nda
     s, h, w = gauss_mid.shape
     half = PATCH // 2
     wp = ((w + 127) // 128) * 128
+    # Materialize the level stack with a dense layout BEFORE the interleave
+    # transpose: since the block-banded pyramid, gauss_mid arrives as a lazy
+    # stack of tile-concat slices, and fusing that producer into the transpose
+    # (or into the ~700 vmapped dynamic_slices) drops the path from sliced-DMA
+    # to a gather-style copy (measured 0.11 -> 1.1+ ms/frame).
+    gauss_mid = jax.lax.optimization_barrier(gauss_mid)
     big = jnp.pad(gauss_mid, ((0, 0), (0, 0), (0, wp - w))).reshape(s * h, wp)
     if (s * h) % 2:
         big = jnp.pad(big, ((0, 1), (0, 0)))

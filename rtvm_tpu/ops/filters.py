@@ -87,6 +87,26 @@ def maxpool3x3(img: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def minmaxpool3x3(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(max, min) 3x3 filters with SAME padding, sharing one edge-replicated
+    pad and one set of shifted views (half the shift traffic of two separate
+    pools). Edge-replication is exact for both: a border window re-reads an
+    in-window value, which is idempotent under max/min."""
+    pad = [(0, 0)] * (img.ndim - 2) + [(1, 1), (0, 0)]
+    p = jnp.pad(img, pad, mode="edge")
+    a = p[..., :-2, :]
+    b = p[..., 1:-1, :]
+    c = p[..., 2:, :]
+    rmax = jnp.maximum(a, jnp.maximum(b, c))
+    rmin = jnp.minimum(a, jnp.minimum(b, c))
+    pad = [(0, 0)] * (img.ndim - 2) + [(0, 0), (1, 1)]
+    pmax = jnp.pad(rmax, pad, mode="edge")
+    pmin = jnp.pad(rmin, pad, mode="edge")
+    mx = jnp.maximum(pmax[..., :-2], jnp.maximum(pmax[..., 1:-1], pmax[..., 2:]))
+    mn = jnp.minimum(pmin[..., :-2], jnp.minimum(pmin[..., 1:-1], pmin[..., 2:]))
+    return mx, mn
+
+
 def dilate(mask: jnp.ndarray, size: int, iterations: int = 1) -> jnp.ndarray:
     """Binary/float dilation with a size x size rectangular structuring element
     (cv2.dilate equivalent)."""
