@@ -1,25 +1,30 @@
 """Headline benchmark: stitched frames/sec on the bundled 360p drone clip, one
-record per BASELINE.json config, measured as RAW BLOCKED dispatches (no RTT
-arithmetic in the headline).
+record per BASELINE.json config, measured as RAW BLOCKED dispatches sustained
+over the whole clip (no RTT arithmetic anywhere).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "configs": {...}}
 
 The headline `value` is config 3 (the BASELINE north star: SIFT stitch +
-per-frame YOLOv8n detection) measured as ONE fused device dispatch: all windows
-of the clip prefix are pre-staged in HBM as [W, B, H, Wd, 3] uint8 and a
-`lax.scan` over whole window steps (mosaic/stitcher.py make_clip_step) stitches
-AND detects in a single blocked call, so the axon tunnel round trip (~30 ms)
-amortizes over W*B frames instead of taxing every window 40%+. The raw blocked
-time IS the number — no correction term.
+per-frame YOLOv8n detection). Protocol (round-3 platform findings):
+
+- The axon tunnel's duty-cycle governor latches when a single dispatch runs
+  much past ~300 ms AND when a jitted warm-up call executes during compile, so
+  the clip step is AOT-compiled (`jit(...).lower(...).compile()` — no
+  execution) and the clip is split into chunks of W windows sized to keep each
+  fused dispatch under the latch threshold.
+- All frames are pre-staged in HBM up front; the state chains on-device across
+  chunks. Each chunk dispatch is BLOCKED (block_until_ready) — the ~30 ms
+  tunnel round trip per chunk is paid inside the measured wall time, amortized
+  over W*16 frames, not subtracted.
+- fps = total clip frames / total wall seconds across all chunks. That single
+  sustained number is the headline; best single-chunk fps is recorded as aux.
 
 Baseline: the reference's published CPU throughput for 360p mosaicking is
 ~10-15 fps (reference README_EN.md:361-362); vs_baseline uses the 12.5 midpoint.
 
-Protocol (NOTES_ROUND2.md platform findings): the tunnel latches into a ~22%
-duty cycle after ~1 s of cumulative device work per process and the latch can
-linger tunnel-side, so each config's probe runs in a FRESH subprocess, reps are
-separated by state re-uploads only, and a throttled-looking probe is retried.
+Each config's probe runs in a FRESH subprocess (the governor latch can linger
+process-side); a probe that failed outright is retried once.
 """
 
 import json
@@ -32,11 +37,14 @@ VIDEO = "/root/reference/Data/поиски квадрокоптера 2 (360p) 0
 BASELINE_FPS = 12.5
 
 # BASELINE.json configs. `det` names the per-frame detector run INSIDE the
-# fused dispatch (config 3/5); `res` upsamples the clip (config 5).
+# fused dispatch (config 3/5); `res` upsamples the clip (config 5); `chunk` is
+# the number of 16-frame windows per fused dispatch, sized to keep the blocked
+# dispatch under the tunnel governor's ~300 ms latch threshold.
 CONFIGS = {
-    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None),
-    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None),
-    "3": dict(name="360p_sift_stitch_yolov8n", detector="sift", det="yolov8n", res=None),
+    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None, chunk=6),
+    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, chunk=4),
+    "3": dict(name="360p_sift_stitch_yolov8n", detector="sift", det="yolov8n", res=None,
+              chunk=4),
     "5": dict(name="1080p_stream_yolov8s", detector="orb", det=None, res=(1920, 1080)),
 }
 
@@ -69,8 +77,8 @@ def _cache():
 
 
 def device_probe():
-    """Measure ONE config (env BENCH_CONFIG) in this fresh process; print one
-    JSON line with raw blocked numbers."""
+    """Measure ONE config (env BENCH_CONFIG) in this fresh process, sustained
+    over the whole clip; print one JSON line with raw blocked numbers."""
     _cache()
     import jax
     import jax.numpy as jnp
@@ -82,15 +90,17 @@ def device_probe():
     cid = os.environ.get("BENCH_CONFIG", "1")
     c = CONFIGS[cid]
     window = int(os.environ.get("BENCH_WINDOW", "16"))
-    # Enough windows that one dispatch dwarfs the RTT; short enough to bound
-    # staging memory at 1080p.
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "8" if c["res"] else "16"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    chunk = int(os.environ.get("BENCH_CHUNK", str(c.get("chunk", 6))))
+    max_frames = int(os.environ.get("BENCH_FRAMES", "600"))
 
-    frames = _load_frames(1 + window * n_windows, c["res"])
+    frames = _load_frames(max_frames, c["res"])
     f0, rest = frames[0], frames[1:]
     n_windows = len(rest) // window
-    windows = rest[: n_windows * window].reshape(n_windows, window, *rest.shape[1:])
+    n_chunks = n_windows // chunk
+    n_windows = n_chunks * chunk
+    windows = rest[: n_windows * window].reshape(
+        n_chunks, chunk, window, *rest.shape[1:]
+    )
 
     int(jnp.int32(0))  # force real sync semantics before timing
     cfg = MosaicConfig(window_size=window)
@@ -108,44 +118,44 @@ def device_probe():
         run = det._infer_fn((384, 640), 0.25, 0.45)
         det_fn = lambda fr: run(fr)
 
-    clip = make_clip_step(mosaic.frame_shape, cfg, det_fn)
-    host_state = jax.device_get(mosaic.state)
-    dwin = jax.device_put(jnp.asarray(windows, jnp.uint8))
+    # mosaic.config carries the detector_type replacement — the raw cfg would
+    # build a SIFT clip step against ORB descriptors in the state
+    clip = make_clip_step(mosaic.frame_shape, mosaic.config, det_fn)
+    st = mosaic.state
     args = (mosaic._key, mosaic._fweight, mosaic._wtable)
+    # stage every chunk in HBM up front (uint8: 592 360p frames = 0.4 GB)
+    dchunks = [jax.device_put(jnp.asarray(wc, jnp.uint8)) for wc in windows]
+    jax.block_until_ready(dchunks[-1])
 
-    def one_clip():
-        st = jax.device_put(host_state)
+    # AOT compile — an *executing* warm-up call latches the tunnel governor.
+    # make_clip_step already returns a jitted fn (donate_argnums=0), so lower
+    # it directly; state donation chains the canvas buffer across chunks.
+    compiled = clip.lower(st, dchunks[0], *args).compile()
+
+    ok_frames = 0
+    ts = []
+    outs = []
+    for dc in dchunks:
+        t0 = time.perf_counter()
+        out = compiled(st, dc, *args)  # (state, aux[, detections])
+        st, aux = out[0], out[1]
         jax.block_until_ready(st.canvas)
-        t0 = time.perf_counter()
-        out = clip(st, dwin, *args)
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0, out
-
-    _t, out = one_clip()  # compile + warm
-    ok_frames = int(np.asarray(out[1].ok).sum())
-    tiny = jax.jit(lambda x: x + 1)
-    tx = jnp.ones((8, 128), jnp.float32)
-    jax.block_until_ready(tiny(tx))
-    ts, rtts = [], []
-    for _ in range(reps):
-        t, _o = one_clip()
-        ts.append(t)
-        t0 = time.perf_counter()
-        jax.block_until_ready(tiny(tx))
-        rtts.append(time.perf_counter() - t0)
+        ts.append(time.perf_counter() - t0)
+        outs.append(aux.ok)
+    ok_frames = int(np.asarray(jnp.concatenate([o.reshape(-1) for o in outs])).sum())
     n_frames = n_windows * window
-    # MIN over reps for the throttle check; MEDIAN is the reported headline
-    # (ADVICE r2: no best-of cherry-picking in `value`).
+    fpc = chunk * window  # frames per chunk dispatch
     print(json.dumps({
         "config": cid,
         "name": c["name"],
         "frames": n_frames,
-        "windows": n_windows,
+        "windows_per_dispatch": chunk,
+        "dispatches": n_chunks,
         "accepted": ok_frames,
-        "blocked_fps": round(n_frames / float(np.median(ts)), 2),
-        "blocked_fps_best": round(n_frames / float(np.min(ts)), 2),
-        "clip_s_median": round(float(np.median(ts)), 4),
-        "rtt_ms": round(float(np.median(rtts)) * 1e3, 2),
+        "blocked_fps": round(n_frames / float(np.sum(ts)), 2),
+        "blocked_fps_best_chunk": round(fpc / float(np.min(ts)), 2),
+        "chunk_ms_median": round(float(np.median(ts)) * 1e3, 2),
+        "total_s": round(float(np.sum(ts)), 4),
         "detector_ckpt": det_ckpt,
     }))
 

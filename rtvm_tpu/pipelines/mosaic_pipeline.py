@@ -292,4 +292,9 @@ def main(
     if update_callback is not None:
         update_callback(stats["frames"], output_img, 100.0)
     print(timer.report())
+    trace_path = os.environ.get("RTVM_TRACE")
+    if trace_path:
+        # host-side span trace (chrome://tracing / Perfetto); jax.profiler is
+        # tunnel-lethal on this platform — see utils/timing.py
+        print(f"Трассировка сохранена: {timer.write_chrome_trace(trace_path)}")
     return mosaic, stats

@@ -51,3 +51,30 @@ def test_morphology_roundtrip(rng):
     ref_e = cv2.erode(mask, np.ones((3, 3), np.uint8))
     assert (d == ref_d).all()
     assert (e == ref_e).all()
+
+
+def test_stage_timer_chrome_trace(tmp_path):
+    """StageTimer records spans and exports a valid Chrome trace-event JSON
+    (the host-side tracing path; jax.profiler is tunnel-lethal — SURVEY §5)."""
+    import json
+    import time as _time
+
+    from rtvm_tpu.utils.timing import StageTimer
+
+    t = StageTimer()
+    for _ in range(3):
+        with t.stage("window"):
+            _time.sleep(0.001)
+    with t.stage("detect"):
+        pass
+    assert t.counts["window"] == 3 and t.counts["detect"] == 1
+    assert len(t.spans) == 4
+    assert "window" in t.report()
+
+    out = t.write_chrome_trace(str(tmp_path / "trace.json"))
+    with open(out) as f:
+        doc = json.load(f)
+    evs = [e for e in doc["traceEvents"] if e.get("ph") == "X"]
+    assert len(evs) == 4
+    assert all(e["dur"] >= 0 and "ts" in e for e in evs)
+    assert {e["name"] for e in evs} == {"window", "detect"}
