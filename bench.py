@@ -69,6 +69,13 @@ def _load_frames(n, res=None):
 def _cache():
     import jax
 
+    # The axon boot hook forces jax_platforms='axon,cpu' at interpreter start,
+    # overriding a shell-level JAX_PLATFORMS; when the tunnel is wedged the
+    # axon init can hang ~25 min before falling back. RTVM_PLATFORM pins the
+    # platform at the config layer, which the hook respects.
+    plat = os.environ.get("RTVM_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtvm_jaxcache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
