@@ -87,7 +87,7 @@ def view_mesh_matplotlib(obj_path: str, save_path: Optional[str] = None) -> str:
     z = v[f][:, :, 2].mean(axis=1)
     import matplotlib.cm as cm
 
-    coll.set_facecolor(cm.viridis((z - z.min()) / max(z.ptp(), 1e-6)))
+    coll.set_facecolor(cm.viridis((z - z.min()) / max(float(np.ptp(z)), 1e-6)))
     ax.add_collection3d(coll)
     ctr = v.mean(0)
     rng = max((v.max(0) - v.min(0)).max() / 2, 1e-6)

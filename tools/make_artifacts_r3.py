@@ -46,27 +46,36 @@ def main():
     from rtvm_tpu.pipelines.mosaic_pipeline import run_mosaic
     from rtvm_tpu.utils.image import crop_black_areas
 
-    # 1. full-clip mosaic via the fused single-dispatch path
-    mosaic, stats = run_mosaic(
-        VIDEO, config=MosaicConfig(window_size=16), detector_type="orb", fused=True
-    )
-    img = crop_black_areas(mosaic.output_img_u8, threshold=80, margin=30)
-    cv2.imwrite(os.path.join(OUT, "mosaic_full_clip.jpg"), img)
-    print("mosaic:", stats, flush=True)
+    # 1. full-clip mosaic via the fused single-dispatch path (skipped when the
+    # artifact already exists so a crashed run resumes from where it stopped)
+    mosaic_path = os.path.join(OUT, "mosaic_full_clip.jpg")
+    if os.path.exists(mosaic_path):
+        img = cv2.imread(mosaic_path)
+        print("mosaic: reusing existing", mosaic_path, flush=True)
+    else:
+        mosaic, stats = run_mosaic(
+            VIDEO, config=MosaicConfig(window_size=16), detector_type="orb", fused=True
+        )
+        img = crop_black_areas(mosaic.output_img_u8, threshold=80, margin=30)
+        cv2.imwrite(mosaic_path, img)
+        print("mosaic:", stats, flush=True)
 
     # 2. trained-detector detections on the mosaic + navigation map
     from rtvm_tpu.detect.detector import ObjectDetector
     from rtvm_tpu.navigate.mapping import analyze_for_navigation
 
     det = ObjectDetector()
-    dets = det.detect_objects(img)
-    print(f"detections: {len(dets)}", {d["class"] for d in dets}, flush=True)
-    cv2.imwrite(os.path.join(OUT, "mosaic_detections.jpg"), det.draw_detections(img, dets))
-    nav = analyze_for_navigation(img, dets)
-    cv2.imwrite(os.path.join(OUT, "navigation_map.jpg"), nav)
+    if not os.path.exists(os.path.join(OUT, "navigation_map.jpg")):
+        dets = det.detect_objects(img)
+        print(f"detections: {len(dets)}", {d["class"] for d in dets}, flush=True)
+        cv2.imwrite(os.path.join(OUT, "mosaic_detections.jpg"), det.draw_detections(img, dets))
+        nav = analyze_for_navigation(img, dets)
+        cv2.imwrite(os.path.join(OUT, "navigation_map.jpg"), nav)
 
     # 3. open-vocab world detections (now at honored imgsz, round-3 fix)
-    if det.model_world is not None and getattr(det.model_world, "is_open_vocab", False):
+    if os.path.exists(os.path.join(OUT, "world_detections.jpg")):
+        pass
+    elif det.model_world is not None and getattr(det.model_world, "is_open_vocab", False):
         w = det.model_world
         w.set_classes(["car", "building", "person"])
         dets_w = w.predict(img, conf=0.25, imgsz=640)
@@ -89,22 +98,25 @@ def main():
     cv2.imwrite(os.path.join(OUT, "depthnet_frame_panel.jpg"), panel)
     print("depth backend:", est.backend, flush=True)
 
-    from rtvm_tpu.depth3d.pointcloud import create_point_cloud_manual
-    from rtvm_tpu.depth3d.tsdf import tsdf_fuse_depths, tsdf_to_mesh
+    from rtvm_tpu.depth3d.pointcloud import unproject_depth
+    from rtvm_tpu.depth3d.tsdf import fuse_tsdf, make_tsdf, tsdf_mesh
     from rtvm_tpu.viz.html3d import write_cloud_html
     from rtvm_tpu.viz.pointcloud_viewer import view_mesh_matplotlib
     from rtvm_tpu.io.ply import write_obj_mesh
 
-    pts, cols = create_point_cloud_manual(fr, d, subsample=3, depth_scale=5.0)
+    # reference create_point_cloud_manual counterpart (depth_to_3d.py:292-345)
+    pts, cols = unproject_depth(d, fr, depth_scale=5.0, stride=3)
     write_cloud_html(pts, cols, os.path.join(OUT, "terrain_cloud_interactive.html"),
                      title="frame 0 depth cloud")
 
     h, w = d.shape
     K = np.array([[max(h, w), 0, w / 2], [0, max(h, w), h / 2], [0, 0, 1]], np.float32)
     depth_m = (1.0 - d) * 5.0
-    vol = tsdf_fuse_depths([depth_m], [np.eye(4, dtype=np.float32)], K,
-                           grid=96, margin=0.15)
-    verts, faces = tsdf_to_mesh(vol)
+    lo, hi = pts.min(0), pts.max(0)
+    size = float((hi - lo).max()) * 1.15 + 1e-3
+    vol = make_tsdf(origin=lo - 0.075 * size, size=size, grid=96)
+    vol = fuse_tsdf(vol, depth_m[None], K, np.eye(4, dtype=np.float32)[None])
+    verts, faces = tsdf_mesh(vol)
     if len(faces):
         obj = os.path.join(OUT, "tsdf_mesh.obj")
         write_obj_mesh(obj, verts, faces)
