@@ -45,10 +45,14 @@ def load_pytree_npz(path: str, like: Any) -> Any:
     restored = []
     for i, ref in enumerate(leaves):
         leaf = data[f"leaf_{i}"]
-        ref = np.asarray(ref)
-        if leaf.shape != ref.shape:
+        # Validate against metadata only — np.asarray(ref) would force a
+        # device->host transfer, and a backend-init failure there (e.g. a
+        # wedged TPU tunnel) would poison the load and silently leave the
+        # caller on random init weights.
+        ref_shape = tuple(getattr(ref, "shape", np.shape(ref)))
+        if tuple(leaf.shape) != ref_shape:
             raise ValueError(
-                f"checkpoint leaf {i} shape {leaf.shape} != expected {ref.shape}"
+                f"checkpoint leaf {i} shape {leaf.shape} != expected {ref_shape}"
             )
         restored.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, restored)
