@@ -238,7 +238,9 @@ def nav_probe():
     n_frames = int(os.environ.get("BENCH_NAV_FRAMES", "193"))
     cfg = MosaicConfig(window_size=16)
     t0 = time.perf_counter()
-    mosaic, stats = run_mosaic(VIDEO, config=cfg, detector_type="sift", max_frames=n_frames)
+    mosaic, stats = run_mosaic(
+        VIDEO, config=cfg, detector_type="sift", max_frames=n_frames, fused=True
+    )
     stitch_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()

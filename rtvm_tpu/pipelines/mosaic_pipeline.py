@@ -173,13 +173,31 @@ def _run_mosaic_fused(
     full = [w for w, v in zip(wins, valids) if v == B]
     tail = [(w, v) for w, v in zip(wins, valids) if v < B]
 
+    # Chunked fused dispatches: the tunnel governor latches on single
+    # dispatches much past ~300 ms (NOTES_ROUND3 finding 15), which would
+    # throttle everything that runs after the stitch (detection on the mosaic,
+    # nav) — so the clip runs as ceil(W/chunk) dispatches with the state
+    # chained on-device. Two jit traces at most (chunk size + remainder).
+    chunk = int(os.environ.get("RTVM_CLIP_CHUNK", "6"))
     t0 = time.perf_counter()
     aux = dets = None
     if full:
         with timer.stage("clip"):
-            out = mosaic.process_clip(np.stack(full), det_fn=det_fn)
-            aux, dets = out if det_fn is not None else (out, None)
-            jax.block_until_ready(mosaic.state.canvas)
+            stacked = np.stack(full)
+            auxes, detss = [], []
+            for i in range(0, len(full), chunk):
+                out = mosaic.process_clip(stacked[i : i + chunk], det_fn=det_fn)
+                a, d = out if det_fn is not None else (out, None)
+                auxes.append(a)
+                detss.append(d)
+                jax.block_until_ready(mosaic.state.canvas)
+            aux = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *auxes
+            )
+            if det_fn is not None:
+                dets = jax.tree_util.tree_map(
+                    lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *detss
+                )
     for frames, n_valid in tail:
         with timer.stage("window"):
             mosaic.process_window(frames)

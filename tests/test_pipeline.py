@@ -139,3 +139,14 @@ def test_run_mosaic_fused_matches_windowed(tmp_path):
     assert s2["frames"] == s1["frames"]
     assert s2["fused_windows"] == 2
     assert np.abs(m1.output_img - m2.output_img).mean() < 0.5
+
+    # chunked fused dispatches (RTVM_CLIP_CHUNK) chain state on-device and
+    # concatenate the per-chunk aux pytrees — must match the single dispatch
+    os.environ["RTVM_CLIP_CHUNK"] = "1"
+    try:
+        m3, s3 = run_mosaic(path, config=cfg, detector_type="orb", fused=True)
+    finally:
+        del os.environ["RTVM_CLIP_CHUNK"]
+    assert s3["frames"] == s1["frames"]
+    assert s3["accepted"] == s2["accepted"]
+    assert np.abs(m3.output_img - m2.output_img).mean() < 1e-3
