@@ -217,9 +217,21 @@ class ObjectDetector:
         # pass (c): sliding windows for large images
         if max(h, w) > window_threshold:
             win, stride = 640, 400
+            # The reference's grid (main.py:225: range(0, dim-win+1, stride))
+            # leaves an uncovered strip up to stride-1 px wide on the right/
+            # bottom whenever (dim-win) % stride != 0 — at 1280 that is 240 px
+            # per axis, ~34% of the area with no tile coverage, which caps
+            # tiny-object recall (improvement over the reference: anchor a
+            # final tile at dim-win so every pixel is tiled).
+            def _starts(dim):
+                xs = list(range(0, max(dim - win, 0) + 1, stride))
+                if xs[-1] != max(dim - win, 0):
+                    xs.append(max(dim - win, 0))
+                return xs
+
             tiles, offsets = [], []
-            for y0 in range(0, max(h - win, 0) + 1, stride):
-                for x0 in range(0, max(w - win, 0) + 1, stride):
+            for y0 in _starts(h):
+                for x0 in _starts(w):
                     tile = image[y0 : y0 + win, x0 : x0 + win]
                     if tile.shape[0] < win or tile.shape[1] < win:
                         tile = np.pad(
