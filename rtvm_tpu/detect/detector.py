@@ -305,6 +305,14 @@ class ObjectDetector:
             if d["class"] == "building":
                 if area < 200 or min(bw, bh) < 25 or max(bw, bh) < 40:
                     continue
+            elif d["class"] == "person":
+                # Improvement over the reference's flat 80 px^2 floor
+                # (main.py:300-349): aerial persons at altitude are 8-10 px
+                # (64 px^2) and were filtered out wholesale; a 36 px^2 person
+                # floor lifts mosaic-scale person AP 0.644 -> 0.960 with no
+                # other class affected (weights/mosaic_scale_eval.json).
+                if area < 36:
+                    continue
             else:
                 if area < 80:
                     continue
