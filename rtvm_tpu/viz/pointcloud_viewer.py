@@ -79,11 +79,13 @@ def view_mesh_matplotlib(obj_path: str, save_path: Optional[str] = None) -> str:
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
     v, f = read_obj_mesh(obj_path)
-    if len(f) > 20000:
-        f = f[np.random.RandomState(0).choice(len(f), 20000, replace=False)]
+    # Subsampling leaves speckle holes; 100k thin-edge polys render in ~1 min
+    # with Agg, fine for an offline artifact. Subsample only beyond that.
+    if len(f) > 100_000:
+        f = f[np.random.RandomState(0).choice(len(f), 100_000, replace=False)]
     fig = plt.figure(figsize=(9, 7))
     ax = fig.add_subplot(111, projection="3d")
-    coll = Poly3DCollection(v[f], alpha=0.85, linewidths=0.05, edgecolor="gray")
+    coll = Poly3DCollection(v[f], alpha=0.9, linewidths=0.0)
     z = v[f][:, :, 2].mean(axis=1)
     import matplotlib.cm as cm
 
