@@ -291,8 +291,34 @@ def _run_sub(mode, env=None, timeout=900, tries=2):
     return best
 
 
+def _device_healthy(timeout_s: int = 120) -> bool:
+    """One tiny blocked op in a fresh subprocess. A healthy tunnel answers in
+    seconds; a wedged one hangs the axon init ~25 min (NOTES_ROUND3 findings
+    16/17), which would turn each probe into a timeout-retry cycle and the
+    inline PSNR pass into an hours-long CPU crawl — bail out up front instead."""
+    code = "import jax, jax.numpy as j; print('DEVOK', float(j.zeros(8).sum()))"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "DEVOK" in out.stdout
+    except Exception:
+        return False
+
+
 def main():
     t_start = time.time()
+    if not _device_healthy():
+        print(json.dumps({
+            "metric": "stitch_yolo_blocked_fps",
+            "value": None,
+            "unit": "fps",
+            "vs_baseline": None,
+            "error": "device unavailable: tiny blocked op did not complete in 120s "
+                     "(wedged axon tunnel); see NOTES_ROUND3.md findings 16/17",
+        }))
+        return
     which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(",")
     results = {}
     for cid in which:
