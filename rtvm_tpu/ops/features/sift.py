@@ -54,20 +54,21 @@ def _octave_quotas(k: int, octaves: int) -> list[int]:
 
 
 @functools.lru_cache(maxsize=32)
-def _band_matrices(deltas_key: tuple, h: int, w: int):
-    """Per-level separable Gaussian blurs as DENSE banded matrices.
+def _band_matrix_y(deltas_key: tuple, h: int) -> np.ndarray:
+    """Per-level separable Gaussian y-blurs as DENSE banded matrices.
 
     The 1-input-channel multi-tap convs the pyramid needs map terribly onto
     the MXU (measured ~13 ms per 16-frame window for octave 0); expressing
-    each level's x/y blur as `img @ Bx_l` / `By_l @ img` turns the whole
-    pyramid into batched [L] dense matmuls the MXU eats (~20x more raw FLOPs,
-    ~15x less time). Edge-replicate padding is folded into the border rows by
-    accumulating clipped taps. Returns (Bx [L, W, W], By [L, H, H]) float32.
+    each level's y blur as `By_l @ img` turns it into batched [L] dense
+    matmuls the MXU eats (~20x more raw FLOPs, ~15x less time). The x-pass
+    uses the block-banded weights instead (_blocked_band_weights) — building
+    a dense [L, W, W] Bx here would be dead weight. Edge-replicate padding is
+    folded into the border rows by accumulating clipped taps.
+    Returns By [L, H, H] float32.
     """
     deltas = np.asarray(deltas_key, np.float64)
     L = len(deltas)
     rad = max(1, int(math.ceil(3.0 * float(deltas.max()))))
-    Bx = np.zeros((L, w, w), np.float32)
     By = np.zeros((L, h, h), np.float32)
     for i, d in enumerate(deltas):
         if d < 1e-6:
@@ -77,13 +78,10 @@ def _band_matrices(deltas_key: tuple, h: int, w: int):
             taps = gaussian_kernel1d(float(d), rad)
         for t in range(2 * rad + 1):
             off = t - rad
-            # x: out col j <- in col clip(j+off); Bx[l, in, out]
-            j = np.arange(w)
-            Bx[i, np.clip(j + off, 0, w - 1), j] += taps[t]
             # y: out row i2 <- in row clip(i2+off); By[l, out, in]
             r = np.arange(h)
             By[i, r, np.clip(r + off, 0, h - 1)] += taps[t]
-    return Bx, By
+    return By
 
 
 def _tile_for(n: int) -> tuple[int, int]:
@@ -96,7 +94,7 @@ def _tile_for(n: int) -> tuple[int, int]:
 def _blocked_band_weights(deltas_key: tuple, h: int, w: int):
     """Per-level separable blurs as BLOCK-banded matmul weights.
 
-    The dense [W, W] band matrices (_band_matrices) waste W/(2r+1) ~ 4-20x
+    A dense [W, W] band matrix would waste W/(2r+1) ~ 4-20x
     FLOPs on zeros outside the band. Tiling output columns into 128-wide
     blocks shrinks each matmul to [tile+2r, tile] — ~4x fewer FLOPs at 360p
     with MXU-friendly shapes. Edge-replicate padding folds into the border
@@ -170,7 +168,7 @@ def _octave_levels(base: jnp.ndarray, deltas: np.ndarray) -> jnp.ndarray:
     # gather-style copy (measured 0.11 -> 1.1 ms/frame on the descriptor
     # path); the dense einsum's plain [L, H, W] output keeps them fast, and
     # the x-pass already removed ~60% of the pyramid FLOPs.
-    _, By = _band_matrices(dk, h, w)
+    By = _band_matrix_y(dk, h)
     Y = jnp.einsum("lhH,lHw->lhw", jnp.asarray(By), X, precision=hi)
     if len(nz) == len(deltas):
         return Y

@@ -52,11 +52,28 @@ def run_mosaic(
     fire once at the end, and auto-grow/intermediate dumps are unavailable.
     """
     if fused:
-        return _run_mosaic_fused(
-            video_path, config=config, detector_type=detector_type,
-            update_callback=update_callback, max_frames=max_frames,
-            timer=timer, per_frame_detector=per_frame_detector,
+        # The fused scan cannot honor per-window host work: auto-grow
+        # decisions, Detections/*.jpg dumps, intermediate visualization.
+        # Fall back to the windowed loop (correctness over speed) instead of
+        # silently dropping those behaviors.
+        needs_host_work = (
+            (config is not None and config.auto_grow)
+            or detections_dir is not None
+            or show_intermediate
+            or visualize
         )
+        if needs_host_work:
+            print(
+                "run_mosaic: fused=True понижен до оконного цикла "
+                "(auto_grow/detections_dir/визуализация требуют пооконной "
+                "обработки)"
+            )
+        else:
+            return _run_mosaic_fused(
+                video_path, config=config, detector_type=detector_type,
+                update_callback=update_callback, max_frames=max_frames,
+                timer=timer, per_frame_detector=per_frame_detector,
+            )
     config = config or MosaicConfig()
     timer = timer or StageTimer()
     reader = VideoReader(video_path, window=config.window_size, max_frames=max_frames)
@@ -198,14 +215,16 @@ def _run_mosaic_fused(
                 dets = jax.tree_util.tree_map(
                     lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *detss
                 )
+    tail_ok = 0
     for frames, n_valid in tail:
         with timer.stage("window"):
-            mosaic.process_window(frames)
+            tail_aux = mosaic.process_window(frames)
+        tail_ok += int(np.asarray(tail_aux.ok)[:n_valid].sum())
     np.asarray(mosaic.state.frame_idx)
     elapsed = time.perf_counter() - t0
 
     frames_total = 1 + sum(valids)
-    ok = int(np.asarray(aux.ok).sum()) if aux is not None else 0
+    ok = (int(np.asarray(aux.ok).sum()) if aux is not None else 0) + tail_ok
     if update_callback is not None:
         update_callback(frames_total, mosaic.output_img_u8, 100.0)
     stats = {
