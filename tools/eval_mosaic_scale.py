@@ -35,16 +35,9 @@ def main(argv=None):
 
     import jax
 
-    # RTVM_PLATFORM=cpu pins the backend at the config layer — the axon boot
-    # hook overrides shell-level JAX_PLATFORMS and a wedged tunnel hangs init.
-    plat = os.environ.get("RTVM_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtvm_jaxcache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from rtvm_tpu.utils.platform import pin_and_cache
+
+    pin_and_cache()
 
     from rtvm_tpu.detect.detector import ObjectDetector
     from rtvm_tpu.models.yolo.eval import evaluate_map

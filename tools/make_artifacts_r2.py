@@ -23,11 +23,9 @@ def main():
     import cv2
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtvm_jaxcache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from rtvm_tpu.utils.platform import pin_and_cache
+
+    pin_and_cache()
     os.makedirs(OUT, exist_ok=True)
 
     from rtvm_tpu.config import MosaicConfig

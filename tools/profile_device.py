@@ -22,8 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(stage):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtvm_jaxcache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from rtvm_tpu.utils.platform import pin_and_cache
+
+    pin_and_cache()
     import cv2
     import jax.numpy as jnp
 

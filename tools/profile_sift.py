@@ -24,11 +24,9 @@ def main(stages):
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.rtvm_jaxcache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from rtvm_tpu.utils.platform import pin_and_cache
+
+    pin_and_cache()
 
     from rtvm_tpu.config import MosaicConfig
     from rtvm_tpu.mosaic import stitcher as S
