@@ -14,12 +14,18 @@ import os
 
 def pin_and_cache(cache_dir: str = "~/.rtvm_jaxcache") -> None:
     """Apply the RTVM_PLATFORM config-layer pin (if set) and enable the
-    persistent compilation cache. Call before any jax computation."""
+    persistent compilation cache. Call before any jax computation.
+
+    The cache directory is suffixed per pinned platform: XLA:CPU AOT results
+    compiled by the axon terminal's remote compiler carry machine features
+    (+prefer-no-scatter etc.) the local host lacks, and loading them from a
+    shared cache warns about potential SIGILL on every entry."""
     import jax
 
     plat = os.environ.get("RTVM_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+        cache_dir = f"{cache_dir}_{plat}"
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
