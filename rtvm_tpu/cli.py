@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("view", help="render a .ply/.obj to PNG")
     v.add_argument("path")
     v.add_argument("--out", default=None)
+    v.add_argument("--backend", choices=["auto", "matplotlib", "offscreen"], default="auto",
+                   help="offscreen = jitted z-buffer rasterizer at --size")
+    v.add_argument("--size", default="1920x1080",
+                   help="offscreen render size WxH (reference default 1920x1080)")
 
     w = sub.add_parser("web", help="start the web UI")
     w.add_argument("--host", default="127.0.0.1")
@@ -74,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # honor the RTVM_PLATFORM config-layer pin + persistent compile cache
+    # before any jax import triggers backend discovery (a wedged axon tunnel
+    # otherwise hangs every CLI run ~25 min — NOTES_ROUND3.md finding 17)
+    from rtvm_tpu.utils.platform import pin_and_cache
+
+    pin_and_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     # reference-compat: `rtvm <video.mp4>` with no subcommand = mosaic
     known = {"mosaic", "slam", "depth3d", "terrain", "stereo-demo", "view", "web", "gui", "menu", "-h", "--help"}
@@ -178,11 +188,17 @@ def main(argv=None):
         v = disp[disp > 0]
         print(f"Диспаритет: медиана {float(np.median(v)):.1f}px, валидных {len(v)}")
     elif args.cmd == "view":
-        from rtvm_tpu.viz.pointcloud_viewer import view_matplotlib, view_mesh_matplotlib
+        if args.backend == "offscreen":
+            from rtvm_tpu.viz.render import render_offscreen
 
-        out = (view_mesh_matplotlib if args.path.endswith(".obj") else view_matplotlib)(
-            args.path, args.out
-        )
+            w, h = (int(x) for x in args.size.lower().split("x"))
+            out = render_offscreen(args.path, args.out, width=w, height=h)
+        else:
+            from rtvm_tpu.viz.pointcloud_viewer import view_matplotlib, view_mesh_matplotlib
+
+            out = (view_mesh_matplotlib if args.path.endswith(".obj") else view_matplotlib)(
+                args.path, args.out
+            )
         print(out)
     elif args.cmd == "web":
         sys.path.insert(0, "ui")

@@ -140,10 +140,47 @@ def depth3d_menu():
             return
 
 
+def viewer_menu():
+    """3D-file viewer menu with backend choice (reference
+    visualize_pointcloud.py:319-408: matplotlib / Open3D window / offscreen /
+    PyVista — here matplotlib / jitted offscreen rasterizer / interactive
+    HTML / side-by-side)."""
+    from rtvm_tpu.viz.pointcloud_viewer import scan_and_describe
+
+    d = input("Каталог с .ply/.obj [.]: ").strip() or "."
+    files = scan_and_describe(d)
+    if not files:
+        print("Файлы .ply/.obj не найдены")
+        return
+    for i, f in enumerate(files, 1):
+        extra = f" ({f['vertices']} вершин, {f['faces']} граней)" if "vertices" in f else ""
+        print(f"{i}. [{f['kind']}] {f['path']}{extra}")
+    try:
+        pick = files[int(input("Файл: ").strip()) - 1]["path"]
+    except (ValueError, IndexError):
+        return
+    print("1. matplotlib PNG\n2. Оффскрин-рендер 1920x1080 (z-buffer)\n3. Интерактивный HTML\n4. Облако+меш рядом (HTML)")
+    b = input("> ").strip()
+    from rtvm_tpu.viz import pointcloud_viewer as pv
+
+    if b == "1":
+        out = (pv.view_mesh_matplotlib if pick.endswith(".obj") else pv.view_matplotlib)(pick)
+    elif b == "2":
+        out = pv.view_offscreen(pick)
+    elif b == "3":
+        out = (pv.view_mesh_interactive if pick.endswith(".obj") else pv.view_interactive)(pick)
+    elif b == "4":
+        other = input("Путь к .obj мешу: ").strip()
+        out = pv.view_side_by_side(pick, other)
+    else:
+        return
+    print(f"Сохранено: {out}")
+
+
 def main_menu():
     print(BANNER)
     while True:
-        print("\n1. Мозаика из видео\n2. SLAM-меню\n3. 3D-реконструкция\n4. Анализ почвы\n0. Выход")
+        print("\n1. Мозаика из видео\n2. SLAM-меню\n3. 3D-реконструкция\n4. Анализ почвы\n5. Просмотр 3D-файлов\n0. Выход")
         c = input("> ").strip()
         if c == "1":
             v = _pick_video()
@@ -157,6 +194,8 @@ def main_menu():
             depth3d_menu()
         elif c == "4":
             soil_menu()
+        elif c == "5":
+            viewer_menu()
         elif c == "0":
             return
 

@@ -2,9 +2,10 @@
 
 Counterpart of reference visualize_pointcloud.py (4 backends: matplotlib, Open3D
 window, Open3D offscreen, PyVista) and interactive_3d_viewer.py (Plotly browser).
-In this environment only matplotlib is guaranteed; Open3D/PyVista/Plotly are probed
-and used when importable, and the Plotly-style browser view degrades to a static
-matplotlib render.
+Backends here: matplotlib scatter/mesh, the framework's own jitted z-buffer
+rasterizer (`view_offscreen`, viz/render.py — the Open3D-offscreen/PyVista
+1920x1080 PNG role), self-contained interactive HTML (viz/html3d.py — the
+Plotly role), plus Open3D/PyVista/Plotly probed and used when importable.
 """
 
 from __future__ import annotations
@@ -100,6 +101,16 @@ def view_mesh_matplotlib(obj_path: str, save_path: Optional[str] = None) -> str:
     fig.savefig(out, dpi=110)
     plt.close(fig)
     return out
+
+
+def view_offscreen(path: str, save_path: Optional[str] = None,
+                   width: int = 1920, height: int = 1080) -> str:
+    """Rasterized offscreen render via the framework's jitted z-buffer splat
+    kernel (reference visualize_pointcloud.py:152-208 Open3D OffscreenRenderer
+    role; also covers the PyVista screenshot backend at :252-280)."""
+    from rtvm_tpu.viz.render import render_offscreen
+
+    return render_offscreen(path, save_path, width=width, height=height)
 
 
 def view_interactive(path: str, save_path: Optional[str] = None) -> str:
