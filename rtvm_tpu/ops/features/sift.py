@@ -45,9 +45,11 @@ N_SPATIAL = 4  # 4x4 spatial bins
 N_ORI = 8  # orientation bins -> 128-d
 
 
-def _octave_quotas(k: int, octaves: int) -> list[int]:
-    """Geometric split of the keypoint budget across octaves (finest gets most)."""
-    raw = np.array([2.0 ** (-o) for o in range(octaves)])
+def _octave_quotas(k: int, octaves: int, decay: float = 4.0) -> list[int]:
+    """Geometric split of the keypoint budget across octaves (finest gets most).
+    decay follows cv2.SIFT's measured fine-scale-heavy distribution on aerial
+    footage (FeatureConfig.sift_octave_decay)."""
+    raw = np.array([float(decay) ** (-o) for o in range(octaves)])
     q = np.floor(k * raw / raw.sum()).astype(int)
     q[0] += k - q.sum()
     return [int(x) for x in q]
@@ -324,12 +326,29 @@ def _orientation_and_descriptors(patches: jnp.ndarray, valid: jnp.ndarray, sigma
     oh1 = jax.nn.one_hot((b0 + 1) % 36, 36, dtype=bf) * frac[..., None].astype(bf)
     hist = jnp.einsum("qpr,qprb->qb", wmag, oh0 + oh1, preferred_element_type=jnp.float32)
     hist = hist + 0.5 * (jnp.roll(hist, 1, 1) + jnp.roll(hist, -1, 1))
-    peak = jnp.argmax(hist, axis=1).astype(jnp.float32)
-    theta = (peak + 0.5) * (2 * jnp.pi / 36.0)
+    peak = jnp.argmax(hist, axis=1)
+    # parabolic peak interpolation (cv2 does the same): +-5 deg argmax
+    # quantization decorrelates matched descriptors across frames
+    hl = jnp.take_along_axis(hist, ((peak - 1) % 36)[:, None], 1)[:, 0]
+    hr = jnp.take_along_axis(hist, ((peak + 1) % 36)[:, None], 1)[:, 0]
+    hp = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+    denom = hl - 2.0 * hp + hr
+    off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    theta = (peak.astype(jnp.float32) + 0.5 + off) * (2 * jnp.pi / 36.0)
 
     # --- descriptor: quantized-rotation spatial weights x continuous ori bins ---
-    rot_bin = jnp.round(theta / (2 * jnp.pi) * N_ROT_BINS).astype(jnp.int32) % N_ROT_BINS
-    rot_oh = jax.nn.one_hot(rot_bin, N_ROT_BINS, dtype=bf)  # [Q, B]
+    # two-hot linear blend of the two nearest rotation tables: same contraction
+    # FLOPs as a one-hot select, but the spatial weights vary continuously with
+    # theta instead of snapping at 22.5-degree bin edges (a snap straddled by a
+    # matched pair perturbs the whole 128-d descriptor)
+    rb = (theta / (2 * jnp.pi) * N_ROT_BINS) % N_ROT_BINS
+    b0 = jnp.floor(rb).astype(jnp.int32) % N_ROT_BINS
+    rfrac = (rb - jnp.floor(rb)).astype(bf)
+    rot_oh = (
+        jax.nn.one_hot(b0, N_ROT_BINS, dtype=bf) * (1 - rfrac)[:, None]
+        + jax.nn.one_hot((b0 + 1) % N_ROT_BINS, N_ROT_BINS, dtype=bf) * rfrac[:, None]
+    )  # [Q, B]
     wsel = jnp.einsum("qb,bps->qps", rot_oh, jnp.asarray(spatial).astype(bf))  # [Q, P*P, 16]
 
     rel = (ori - theta[:, None, None]) % (2 * jnp.pi) / (2 * jnp.pi) * N_ORI
@@ -358,7 +377,7 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
     s = cfg.sift_scales
     octaves = cfg.sift_octaves
     sigma0 = cfg.sift_sigma
-    quotas = _octave_quotas(k, octaves)
+    quotas = _octave_quotas(k, octaves, getattr(cfg, "sift_octave_decay", 4.0))
 
     img = gray / 255.0
     kfac = 2.0 ** (1.0 / s)

@@ -140,9 +140,11 @@ def test_sift_inlier_parity_vs_cv2_on_real_frames():
     our_inliers = int(mask2.sum())
 
     # Within 15% of OpenCV's inlier count at the same keypoint budget
-    # (measured: ours 374 vs cv2 424 = 88% on this pair; round-2 VERDICT asks
-    # the floor to sit just under the measured value so regressions fail loud).
-    assert our_inliers >= max(30, int(0.85 * cv2_inliers)), (our_inliers, cv2_inliers)
+    # (measured: ours 415 vs cv2 424 = 98% on this pair after the round-3
+    # orientation-parabola + two-hot rotation-table + quota-decay work; pairs
+    # 3-6/6-9 measure 94%/93%. Floor just under the measured min so
+    # regressions fail loud — round-2 VERDICT item 6.)
+    assert our_inliers >= max(30, int(0.90 * cv2_inliers)), (our_inliers, cv2_inliers)
 
 
 def test_extract_patches_exact_incl_bottom_edge():
