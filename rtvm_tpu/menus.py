@@ -108,9 +108,28 @@ def soil_menu():
             return
 
 
+def synthetic_depth_test(output_path: str = "test_image.jpg"):
+    """Reference depth_to_3d.py:1270-1282 menu option 3: build the synthetic
+    3-shape test image (two rectangles + circle) and run the single-image
+    pipeline on it."""
+    import cv2
+    import numpy as np
+
+    from rtvm_tpu.depth3d.pipeline import process_single_image
+
+    test_img = np.zeros((480, 640, 3), dtype=np.uint8)
+    cv2.rectangle(test_img, (100, 100), (300, 300), (0, 0, 255), -1)
+    cv2.rectangle(test_img, (350, 150), (550, 350), (0, 255, 0), -1)
+    cv2.circle(test_img, (320, 400), 60, (255, 0, 0), -1)
+    cv2.imwrite(output_path, test_img)
+    print("Создание тестового изображения...")
+    return process_single_image(output_path)
+
+
 def depth3d_menu():
     while True:
-        print("\n1. Видео -> 3D\n2. Изображение -> 3D\n3. Один кадр видео -> 3D\n4. Мульти-вью -> 3D\n0. Выход")
+        print("\n1. Видео -> 3D\n2. Изображение -> 3D\n3. Тест на синтетическом изображении\n"
+              "4. Один кадр видео -> 3D\n5. Мульти-вью -> 3D\n0. Выход")
         c = input("> ").strip()
         from rtvm_tpu.depth3d.pipeline import (
             process_multiple_images_to_3d,
@@ -126,10 +145,12 @@ def depth3d_menu():
             p = input("Путь к изображению: ").strip()
             process_single_image(p)
         elif c == "3":
+            synthetic_depth_test()
+        elif c == "4":
             v = _pick_video()
             if v:
                 process_video_to_3d_model(v, single_frame=True)
-        elif c == "4":
+        elif c == "5":
             d = input("Каталог изображений: ").strip()
             import glob
 

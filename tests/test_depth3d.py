@@ -103,6 +103,18 @@ def test_obj_roundtrip(tmp_path):
     assert (rf == faces).all()
 
 
+def test_synthetic_depth_test_menu_helper(tmp_path):
+    """Reference depth_to_3d.py:1270-1282 (menu option 3): synthetic 3-shape
+    image -> single-image 3D pipeline."""
+    import os
+
+    from rtvm_tpu.menus import synthetic_depth_test
+
+    res = synthetic_depth_test(output_path=str(tmp_path / "test_image.jpg"))
+    for k in ("cloud", "mesh", "visualization"):
+        assert os.path.exists(res[k]), k
+
+
 def test_single_image_pipeline(tmp_path, textured_image):
     import cv2
 
