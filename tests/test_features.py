@@ -147,6 +147,48 @@ def test_sift_inlier_parity_vs_cv2_on_real_frames():
     assert our_inliers >= max(30, int(0.90 * cv2_inliers)), (our_inliers, cv2_inliers)
 
 
+@pytest.mark.slow
+def test_orb_inlier_parity_vs_cv2_on_real_frames():
+    """ORB quality vs cv2.ORB on a real drone frame pair (same methodology as
+    the SIFT gate: crosscheck Hamming match + RANSAC inlier count at equal
+    K=700 budget). Measured 1.00/1.05/0.92 of cv2's inliers on pairs
+    0-3/3-6/6-9; floor just under the min so regressions fail loud."""
+    from rtvm_tpu.config import MosaicConfig
+    from rtvm_tpu.mosaic.stitcher import _extract_features_batch
+
+    path = "/root/reference/Data/поиски квадрокоптера 2 (360p) 01.mp4"
+    cap = cv2.VideoCapture(path)
+    ok, f0 = cap.read()
+    if not ok:
+        pytest.skip("bundled clip unavailable")
+    for _ in range(3):
+        _, f1 = cap.read()
+    cap.release()
+    g0 = cv2.cvtColor(f0, cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(f1, cv2.COLOR_BGR2GRAY)
+
+    orb = cv2.ORB_create(700)
+    kp0, d0 = orb.detectAndCompute(g0, None)
+    kp1, d1 = orb.detectAndCompute(g1, None)
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+    mm = bf.match(d1, d0)
+    src = np.float32([kp1[m.queryIdx].pt for m in mm])
+    dst = np.float32([kp0[m.trainIdx].pt for m in mm])
+    _, mask = cv2.findHomography(src, dst, cv2.RANSAC, 2.0)
+    cv2_inliers = int(mask.sum())
+
+    cfg = MosaicConfig(features=FeatureConfig(detector_type="orb", max_keypoints=700))
+    grays = jnp.asarray(np.stack([g0, g1]).astype(np.float32))
+    kp, desc, valid = _extract_features_batch(grays, cfg)
+    m = match.match_hamming_crosscheck(desc[1], valid[1], desc[0], valid[0])
+    s, d, okm = match.gather_correspondences(kp[1], kp[0], m)
+    s = np.asarray(s)[np.asarray(okm)]
+    d = np.asarray(d)[np.asarray(okm)]
+    _, mask2 = cv2.findHomography(s, d, cv2.RANSAC, 2.0)
+    our_inliers = int(mask2.sum())
+    assert our_inliers >= max(30, int(0.88 * cv2_inliers)), (our_inliers, cv2_inliers)
+
+
 def test_extract_patches_exact_incl_bottom_edge():
     """Patches must equal the direct numpy crop for ALL keypoint rows,
     including within 2 px of the bottom edge (round-2 ADVICE: the interleave's
