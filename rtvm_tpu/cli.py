@@ -188,10 +188,25 @@ def main(argv=None):
         v = disp[disp > 0]
         print(f"Диспаритет: медиана {float(np.median(v)):.1f}px, валидных {len(v)}")
     elif args.cmd == "view":
-        if args.backend == "offscreen":
+        backend = args.backend
+        if backend == "auto":
+            # matplotlib scatter degrades (and slows) past ~150k points; large
+            # artifacts go to the rasterizer, small ones keep the familiar plot
+            try:
+                from rtvm_tpu.io.ply import read_obj_mesh, read_ply_points
+
+                n = (len(read_obj_mesh(args.path)[0]) if args.path.endswith(".obj")
+                     else len(read_ply_points(args.path)[0]))
+                backend = "offscreen" if n > 150_000 else "matplotlib"
+            except Exception:
+                backend = "matplotlib"
+        if backend == "offscreen":
             from rtvm_tpu.viz.render import render_offscreen
 
-            w, h = (int(x) for x in args.size.lower().split("x"))
+            try:
+                w, h = (int(x) for x in args.size.lower().split("x"))
+            except ValueError:
+                build_parser().error(f"--size must look like 1920x1080, got {args.size!r}")
             out = render_offscreen(args.path, args.out, width=w, height=h)
         else:
             from rtvm_tpu.viz.pointcloud_viewer import view_matplotlib, view_mesh_matplotlib

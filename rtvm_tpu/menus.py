@@ -123,7 +123,8 @@ def synthetic_depth_test(output_path: str = "test_image.jpg"):
     cv2.circle(test_img, (320, 400), 60, (255, 0, 0), -1)
     cv2.imwrite(output_path, test_img)
     print("Создание тестового изображения...")
-    return process_single_image(output_path)
+    out_dir = os.path.dirname(os.path.abspath(output_path))
+    return process_single_image(output_path, output_dir=out_dir)
 
 
 def depth3d_menu():

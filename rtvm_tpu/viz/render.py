@@ -118,7 +118,10 @@ def render_points(
     global _SPLAT
     import jax.numpy as jnp
 
-    pts = np.ascontiguousarray(points, np.float32)
+    pts = np.ascontiguousarray(points, np.float32).reshape(-1, 3)
+    if len(pts) == 0:
+        bg = np.clip(np.asarray(background, np.float32) * 255.0, 0, 255)
+        return np.broadcast_to(bg.astype(np.uint8), (height, width, 3)).copy()
     if view is None or focal is None:
         view, focal = auto_camera(pts)
     if colors is None:
@@ -126,9 +129,10 @@ def render_points(
         t = (zn - zn.min()) / max(float(np.ptp(zn)), 1e-6)
         colors = np.stack([0.2 + 0.7 * t, 0.1 + 0.8 * (1 - np.abs(t - 0.5) * 2), 0.9 - 0.7 * t], 1)
     else:
-        colors = np.asarray(colors, np.float32)
-        if colors.max() > 1.5:
-            colors = colors / 255.0
+        colors = np.asarray(colors)
+        # integer dtype = 0..255 channel values; float = already-normalized
+        colors = (colors / 255.0 if np.issubdtype(colors.dtype, np.integer)
+                  else colors).astype(np.float32)
     if _SPLAT is None:
         _SPLAT = _splat_jit()
     img = _SPLAT(
@@ -164,9 +168,8 @@ def sample_mesh_surfels(
     w0, w1, w2 = 1 - s, s * (1 - r2), s * r2
     pts = w0 * a[fidx] + w1 * b[fidx] + w2 * c[fidx]
     if vertex_colors is not None:
-        vc = np.asarray(vertex_colors, np.float32)
-        if vc.max() > 1.5:
-            vc = vc / 255.0
+        vc = np.asarray(vertex_colors)
+        vc = (vc / 255.0 if np.issubdtype(vc.dtype, np.integer) else vc).astype(np.float32)
         albedo = (w0 * vc[f[fidx, 0]] + w1 * vc[f[fidx, 1]] + w2 * vc[f[fidx, 2]])
     else:
         albedo = np.full((m, 3), 0.62, np.float32)  # reference paints gray
@@ -211,11 +214,15 @@ def render_offscreen(path: str, save_path: Optional[str] = None,
         pts, cols = read_ply_points(path)
         img = render_points(pts, cols, width=width, height=height)
     out = save_path or os.path.splitext(path)[0] + "_render.png"
+    written = False
     try:
         import cv2
 
-        cv2.imwrite(out, img[..., ::-1])
+        # imwrite signals failure by returning False, not raising
+        written = bool(cv2.imwrite(out, img[..., ::-1]))
     except Exception:
+        written = False
+    if not written:
         import matplotlib
 
         matplotlib.use("Agg")
