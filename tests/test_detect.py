@@ -59,6 +59,49 @@ def test_nms_suppresses_overlaps():
     assert valid.sum() == 2  # the two overlapping boxes collapse to one
 
 
+def test_nms_fixpoint_matches_sequential_greedy():
+    """The Jacobi-fixpoint NMS must reproduce EXACT sequential greedy
+    suppression (what cv2/ultralytics do), including alternating chains where
+    a suppressed box would itself have suppressed another (1 kills 2, so 3
+    survives despite overlapping 2)."""
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        n = 64
+        # clustered boxes -> long suppression chains
+        cx = rng.rand(n) * 40
+        cy = rng.rand(n) * 40
+        w = 8 + rng.rand(n) * 10
+        boxes = np.stack([cx, cy, cx + w, cy + w], -1).astype(np.float32)
+        conf = rng.rand(n).astype(np.float32)
+        cls = rng.randint(0, 2, n)
+        scores = np.zeros((n, 2), np.float32)
+        scores[np.arange(n), cls] = conf
+
+        det = pp.nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            conf_threshold=0.2, iou_threshold=0.45, max_detections=n,
+        )
+
+        # numpy sequential greedy oracle on the same rank ordering
+        order = np.argsort(-np.where(conf >= 0.2, conf, 0.0), kind="stable")
+        ob, ocls = boxes[order], cls[order]
+        okeep = (np.where(conf >= 0.2, conf, 0.0)[order]) > 0
+        area = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
+        for i in range(n):
+            if not okeep[i]:
+                continue
+            for j in range(i):
+                if not okeep[j] or ocls[j] != ocls[i]:
+                    continue
+                ix = max(0, min(ob[i, 2], ob[j, 2]) - max(ob[i, 0], ob[j, 0]))
+                iy = max(0, min(ob[i, 3], ob[j, 3]) - max(ob[i, 1], ob[j, 1]))
+                iou = ix * iy / max(area[i] + area[j] - ix * iy, 1e-9)
+                if iou > 0.45:
+                    okeep[i] = False
+                    break
+        np.testing.assert_array_equal(np.asarray(det.valid), okeep, err_msg=f"trial {trial}")
+
+
 def test_dedup_and_area_filter():
     dets = [
         {"bbox": [0, 0, 30, 30], "class": "car", "confidence": 0.9},
