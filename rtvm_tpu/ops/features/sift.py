@@ -40,6 +40,10 @@ from rtvm_tpu.ops.filters import (
 )
 
 PATCH = 32  # descriptor patch side (octave pixels)
+# Row-interleave factor for patch extraction. Measured on v5e (per-frame, 700
+# patches): I=2 1.01 ms, I=8 1.55 ms despite 3.4x fewer DMA rows — wider
+# (8P-lane) slices bill worse than narrow ones, so 2 is the sweet spot.
+INTERLEAVE = int(__import__("os").environ.get("RTVM_SIFT_INTERLEAVE", "2"))
 N_ROT_BINS = 16  # quantized keypoint-angle bins for the spatial weight tables
 N_SPATIAL = 4  # 4x4 spatial bins
 N_ORI = 8  # orientation bins -> 128-d
@@ -184,9 +188,16 @@ def _octave_levels(base: jnp.ndarray, deltas: np.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
-def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
+def _detect_octave(dogs, quota, contrast_threshold, edge_r, border, overfetch=2):
     """Find up to `quota` extrema in one octave's DoG stack [L-1, H, W].
-    Returns (xy [Q,2] octave coords, level [Q] int32 (1..s), score, valid)."""
+    Returns (xy [Q,2] octave coords, level [Q] int32 (1..s), score, valid).
+
+    The Hessian edge test runs POINT-WISE on `overfetch * quota` top-scored
+    extremum candidates (9 neighborhood gathers each) instead of as full-map
+    roll chains — the 10 [S, H, W] rolls the edge test needs were ~30% of the
+    detect stage. Edge-rejected candidates burn an overfetch slot; with 2x
+    overfetch and the measured ~5-10% edge-rejection rate the final quota
+    still fills (equal-budget inlier-parity gates vs cv2 hold)."""
     nl, h, w = dogs.shape
     mid = dogs[1:-1]  # [S, H, W] candidate layers
 
@@ -199,38 +210,46 @@ def _detect_octave(dogs, quota, contrast_threshold, edge_r, border):
     score = jnp.abs(mid)
     extremum = (is_max | is_min) & (score > contrast_threshold)
 
-    dxx = jnp.roll(mid, -1, 2) + jnp.roll(mid, 1, 2) - 2 * mid
-    dyy = jnp.roll(mid, -1, 1) + jnp.roll(mid, 1, 1) - 2 * mid
-    dxy = 0.25 * (
-        jnp.roll(jnp.roll(mid, -1, 1), -1, 2) + jnp.roll(jnp.roll(mid, 1, 1), 1, 2)
-        - jnp.roll(jnp.roll(mid, -1, 1), 1, 2) - jnp.roll(jnp.roll(mid, 1, 1), -1, 2)
-    )
-    tr = dxx + dyy
-    det = dxx * dyy - dxy * dxy
-    edge_ok = (det > 0) & (tr * tr * edge_r < (edge_r + 1.0) ** 2 * det)
-
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
     inside = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
 
-    final = jnp.where(extremum & edge_ok & inside, score, 0.0)
+    final = jnp.where(extremum & inside, score, 0.0)
     # two-stage blocked top-k (shared with FAST): ~8x fewer top_k candidates
-    top, row, kx, valid = topk2d_blocked(final.reshape(-1, w), quota)
+    k2 = overfetch * quota
+    top, row, kx, valid = topk2d_blocked(final.reshape(-1, w), k2)
     lvl = row // h
     ky = row % h
 
-    g_x = 0.5 * (mid[lvl, ky, jnp.clip(kx + 1, 0, w - 1)] - mid[lvl, ky, jnp.clip(kx - 1, 0, w - 1)])
-    g_y = 0.5 * (mid[lvl, jnp.clip(ky + 1, 0, h - 1), kx] - mid[lvl, jnp.clip(ky - 1, 0, h - 1), kx])
-    hxx = dxx[lvl, ky, kx]
-    hyy = dyy[lvl, ky, kx]
-    hxy = dxy[lvl, ky, kx]
-    deth = hxx * hyy - hxy * hxy
+    def nb(dy, dx):
+        return mid[lvl, jnp.clip(ky + dy, 0, h - 1), jnp.clip(kx + dx, 0, w - 1)]
+
+    c0 = nb(0, 0)
+    xp, xm, yp, ym = nb(0, 1), nb(0, -1), nb(1, 0), nb(-1, 0)
+    hxx = xp + xm - 2 * c0
+    hyy = yp + ym - 2 * c0
+    hxy = 0.25 * (nb(1, 1) + nb(-1, -1) - nb(1, -1) - nb(-1, 1))
+    tr = hxx + hyy
+    det = hxx * hyy - hxy * hxy
+    edge_ok = (det > 0) & (tr * tr * edge_r < (edge_r + 1.0) ** 2 * det)
+    valid = valid & edge_ok
+
+    g_x = 0.5 * (xp - xm)
+    g_y = 0.5 * (yp - ym)
+    deth = det
     deth = jnp.where(jnp.abs(deth) < 1e-12, 1e-12, deth)
     ox = jnp.clip(-(hyy * g_x - hxy * g_y) / deth, -0.5, 0.5)
     oy = jnp.clip(-(hxx * g_y - hxy * g_x) / deth, -0.5, 0.5)
 
-    xy = jnp.stack([kx.astype(jnp.float32) + ox, ky.astype(jnp.float32) + oy], axis=-1)
-    return xy, (lvl + 1).astype(jnp.int32), jnp.where(valid, top, 0.0), valid
+    # compact the edge-survivors into the fixed quota (rank by masked score)
+    sc = jnp.where(valid, top, 0.0)
+    top_q, sel = jax.lax.top_k(sc, quota)
+    xy = jnp.stack(
+        [kx[sel].astype(jnp.float32) + ox[sel], ky[sel].astype(jnp.float32) + oy[sel]],
+        axis=-1,
+    )
+    valid_q = top_q > 0.0
+    return xy, (lvl[sel] + 1).astype(jnp.int32), top_q, valid_q
 
 
 @functools.lru_cache(maxsize=8)
@@ -272,11 +291,14 @@ def _extract_level_patches(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.nda
     DMA-row economy (patch slices are billed per row): the levels are stacked
     vertically so the keypoint's LEVEL becomes part of the dynamic row offset
     (one [P, P] slice instead of an [S, P, P] slice — S x fewer rows, no
-    one-hot level select), and pairs of rows are column-interleaved so the
-    slice needs P/2+1 rows with an exact parity-select reconstruction (same
-    trick as orb.extract_patches_batch). Net: 96 -> 17 DMA rows per keypoint."""
+    one-hot level select), and groups of I=8 rows are column-interleaved so
+    the slice needs P/8+1 rows of 8P lanes with an exact phase-select
+    reconstruction. Net: 96 -> 5 DMA rows per keypoint (the 2-row interleave
+    this replaces still paid 17)."""
     s, h, w = gauss_mid.shape
     half = PATCH // 2
+    I = INTERLEAVE  # row-interleave factor
+    nrows = PATCH // I + 1
     wp = ((w + 127) // 128) * 128
     # Materialize the level stack with a dense layout BEFORE the interleave
     # transpose: since the block-banded pyramid, gauss_mid arrives as a lazy
@@ -285,27 +307,62 @@ def _extract_level_patches(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.nda
     # to a gather-style copy (measured 0.11 -> 1.1+ ms/frame).
     gauss_mid = jax.lax.optimization_barrier(gauss_mid)
     big = jnp.pad(gauss_mid, ((0, 0), (0, 0), (0, wp - w))).reshape(s * h, wp)
-    if (s * h) % 2:
-        big = jnp.pad(big, ((0, 1), (0, 0)))
-    rows2 = big.shape[0] // 2
-    inter = big.reshape(rows2, 2, wp).transpose(0, 2, 1).reshape(rows2, 2 * wp)
+    # pad rows to a multiple of I plus slack so ybase + nrows stays in range
+    big = jnp.pad(big, ((0, (-big.shape[0]) % I + I), (0, 0)))
+    rows_i = big.shape[0] // I
+    inter = big.reshape(rows_i, I, wp).transpose(0, 2, 1).reshape(rows_i, I * wp)
 
     ys = jnp.clip(xy[:, 1].astype(jnp.int32) - half, 0, h - PATCH - 2) + (lvl - 1) * h
     xs = jnp.clip(xy[:, 0].astype(jnp.int32) - half, 0, w - PATCH)
-    par = ys % 2
-    ybase = ys // 2
-    nrows = PATCH // 2 + 1
+    par = ys % I
+    ybase = ys // I
 
     def one(y0, x0):
-        return jax.lax.dynamic_slice(inter, (y0, 2 * x0), (nrows, 2 * PATCH))
+        return jax.lax.dynamic_slice(inter, (y0, I * x0), (nrows, I * PATCH))
 
-    sl = jax.vmap(one)(ybase, xs)  # [Q, P/2+1, 2P]
-    blk = sl.reshape(-1, nrows, PATCH, 2).transpose(0, 1, 3, 2).reshape(-1, PATCH + 2, PATCH)
-    return jnp.where(par[:, None, None] == 0, blk[:, :PATCH], blk[:, 1 : PATCH + 1])
+    sl = jax.vmap(one)(ybase, xs)  # [Q, P/8+1, 8P]; lane j = (col, phase)
+    # [Q, nrows, P, I] -> [Q, nrows, I, P] -> [Q, nrows*I, P]: flat row r*I+i
+    # is original row ybase*I + r*I + i, so rows par..par+P-1 are the patch
+    blk = sl.reshape(-1, nrows, PATCH, I).transpose(0, 1, 3, 2).reshape(
+        -1, nrows * I, PATCH
+    )
+    # phase select via I static slices + where chain (vectorized VPU selects;
+    # a per-keypoint dynamic_slice here lowers to a slow gather-style copy)
+    out = blk[:, :PATCH]
+    for p in range(1, I):
+        out = jnp.where((par == p)[:, None, None], blk[:, p : p + PATCH], out)
+    return out
+
+
+def _extract_level_patches_pallas(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.ndarray):
+    """TPU tier of _extract_level_patches: identical integer-aligned patches
+    via ONE Pallas kernel over a VMEM-resident level stack (the XLA vmap'd
+    dynamic_slice path pays ~1.4 us of dispatch overhead PER keypoint — ~1
+    ms/frame at K=700 — insensitive to slice bytes or row count; the kernel
+    loop is ~5x cheaper). Same ys clip as the XLA path so both tiers cut
+    byte-identical patches."""
+    s, h, w = gauss_mid.shape
+    half = PATCH // 2
+    gauss_mid = jax.lax.optimization_barrier(gauss_mid)
+    ys = jnp.clip(xy[:, 1].astype(jnp.int32) - half, 0, h - PATCH - 2) + (lvl - 1) * h
+    xs = jnp.clip(xy[:, 0].astype(jnp.int32) - half, 0, w - PATCH)
+    from rtvm_tpu.ops.pallas_patches import extract_patches_pallas
+
+    return extract_patches_pallas(gauss_mid.reshape(s * h, w), ys, xs, PATCH)
+
+
+def _extract_patches_tiered(gauss_mid: jnp.ndarray, xy: jnp.ndarray, lvl: jnp.ndarray):
+    """Backend tier: Pallas kernel on real TPU, XLA interleave path elsewhere
+    (interpret-mode Pallas is far too slow for the CPU test backend)."""
+    if jax.default_backend() == "tpu":
+        return _extract_level_patches_pallas(gauss_mid, xy, lvl)
+    return _extract_level_patches(gauss_mid, xy, lvl)
 
 
 def _orientation_and_descriptors(patches: jnp.ndarray, valid: jnp.ndarray, sigma_desc: float):
-    """patches [Q, P, P] -> (theta [Q], desc [Q, 128])."""
+    """patches [Q, P, P] (any float dtype; bf16 from the sliced-DMA path) ->
+    (theta [Q], desc [Q, 128])."""
+    patches = patches.astype(jnp.float32)
     q = patches.shape[0]
     gx = 0.5 * (jnp.roll(patches, -1, 2) - jnp.roll(patches, 1, 2))
     gy = 0.5 * (jnp.roll(patches, -1, 1) - jnp.roll(patches, 1, 1))
@@ -394,7 +451,7 @@ def detect_and_describe(gray: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarra
         xy, lvl, _, valid = _detect_octave(
             dogs, quotas[o], cfg.sift_contrast_threshold, 10.0, cfg.border_margin
         )
-        patches = _extract_level_patches(gauss[1 : s + 1], xy, lvl)
+        patches = _extract_patches_tiered(gauss[1 : s + 1], xy, lvl)
 
         xs_all.append(xy * float(2**o))
         patch_all.append(patches)

@@ -80,3 +80,29 @@ def test_pallas_regime_rejects_large_rotation():
     assert not bool(W.pallas_regime_ok(jnp.asarray(Hm), 192, 256, 96, 160))
     # ... but the XLA two-pass regime also bounds rotation via slopes; the
     # gather fallback remains the exact catch-all.
+
+
+def test_pallas_patches_match_xla_extractor():
+    """The Pallas VMEM patch extractor (interpret mode) must cut byte-identical
+    patches to the XLA interleave path (both are pure integer-aligned copies)."""
+    from rtvm_tpu.ops.features import sift as SF
+    from rtvm_tpu.ops.pallas_patches import extract_patches_pallas
+
+    rng = np.random.RandomState(3)
+    s, h, w = 3, 64, 96
+    g = rng.rand(s, h, w).astype(np.float32)
+    q = 37  # not a multiple of the kernel's per-program block
+    xy = np.stack([rng.randint(0, w, q), rng.randint(0, h, q)], -1).astype(np.float32)
+    lvl = rng.randint(1, s + 1, q).astype(np.int32)
+
+    ref = np.asarray(SF._extract_level_patches(jnp.asarray(g), jnp.asarray(xy), jnp.asarray(lvl)))
+    half = SF.PATCH // 2
+    ys = np.clip(xy[:, 1].astype(np.int32) - half, 0, h - SF.PATCH - 2) + (lvl - 1) * h
+    xs = np.clip(xy[:, 0].astype(np.int32) - half, 0, w - SF.PATCH)
+    out = np.asarray(
+        extract_patches_pallas(
+            jnp.asarray(g.reshape(s * h, w)), jnp.asarray(ys), jnp.asarray(xs),
+            SF.PATCH, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(out, ref)

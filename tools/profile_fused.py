@@ -42,9 +42,10 @@ def main(R=4, detector="sift"):
 
     cap = cv2.VideoCapture(VIDEO)
     _, f0 = cap.read()
-    frames = np.stack([cap.read()[1] for _ in range(16)])
+    win = int(os.environ.get("PROFILE_WINDOW", "16"))
+    frames = np.stack([cap.read()[1] for _ in range(win)])
     cap.release()
-    m = S.VideMosaic(f0, detector_type=detector, config=MosaicConfig(window_size=16))
+    m = S.VideMosaic(f0, detector_type=detector, config=MosaicConfig(window_size=win))
     cfg = m.config
     f = cfg.features
     int(jnp.int32(0))
@@ -86,7 +87,7 @@ def main(R=4, detector="sift"):
             jax.block_until_ready(fn(jnp.float32(0.0)))
             ts.append(time.perf_counter() - t0)
         per = (min(ts) - 0.030) / reps  # subtract one RTT for the dispatch itself
-        print(f"{name:24s} {per*1e3:8.2f} ms/window ({per*1e3/16:6.3f} ms/frame)  "
+        print(f"{name:24s} {per*1e3:8.2f} ms/window ({per*1e3/win:6.3f} ms/frame)  "
               f"[dispatch {min(ts)*1e3:.0f} ms / {reps} reps]", flush=True)
         return per
 
@@ -170,6 +171,26 @@ def main(R=4, detector="sift"):
                 base = gauss[s][::2, ::2]
         return outs
 
+    def inter_one(gray):
+        """Pyramid + the patch extractor's interleave relayout only (no
+        per-keypoint slices) — isolates the transpose cost."""
+        img = gray / 255.0
+        base = gaussian_blur(img, float(np.sqrt(max(sigma0 ** 2 - 0.25, 0.01))))
+        I = SF.INTERLEAVE
+        outs = []
+        for o in range(f.sift_octaves):
+            gauss = SF._octave_levels(base, deltas)
+            gm = jax.lax.optimization_barrier(gauss[1:s + 1])
+            ss, h, w = gm.shape
+            wp = ((w + 127) // 128) * 128
+            big = jnp.pad(gm, ((0, 0), (0, 0), (0, wp - w))).reshape(ss * h, wp)
+            big = jnp.pad(big, ((0, (-big.shape[0]) % I + I), (0, 0)))
+            ri = big.shape[0] // I
+            outs.append(big.reshape(ri, I, wp).transpose(0, 2, 1).reshape(ri, I * wp))
+            if o + 1 < f.sift_octaves:
+                base = gauss[s][::2, ::2]
+        return outs
+
     def patches_one(gray):
         img = gray / 255.0
         base = gaussian_blur(img, float(np.sqrt(max(sigma0 ** 2 - 0.25, 0.01))))
@@ -180,7 +201,7 @@ def main(R=4, detector="sift"):
             dogs = gauss[1:] - gauss[:-1]
             xy, lvl, _, valid = SF._detect_octave(dogs, quotas[o], f.sift_contrast_threshold,
                                                   10.0, f.border_margin)
-            outs.append(SF._extract_level_patches(gauss[1:s + 1], xy, lvl))
+            outs.append(SF._extract_patches_tiered(gauss[1:s + 1], xy, lvl))
             if o + 1 < f.sift_octaves:
                 base = gauss[s][::2, ::2]
         return outs
@@ -190,6 +211,7 @@ def main(R=4, detector="sift"):
     timed("pyr+extrema", lambda g: jax.vmap(extrema_one)(g), grays, reps=R)
     timed("pyr+ext+hessian", lambda g: jax.vmap(hessian_one)(g), grays, reps=R)
     timed("pyr+detect", lambda g: jax.vmap(detect_one)(g), grays, reps=R)
+    timed("pyr+inter", lambda g: jax.vmap(inter_one)(g), grays, reps=R)
     timed("pyr+det+patches", lambda g: jax.vmap(patches_one)(g), grays, reps=R)
     timed("features(all)", lambda g: jax.vmap(lambda x: SF.detect_and_describe(x, f))(g),
           grays, reps=R)
