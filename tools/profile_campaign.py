@@ -1,0 +1,87 @@
+"""Unattended stage-profiling campaign on the tunneled TPU.
+
+Runs each profile_fused.py stage in its OWN subprocess (fresh tunnel session),
+spaced by idle gaps so every probe starts from a refilled governor bucket
+(NOTES_ROUND3.md findings 15-17: the token bucket grants ~0.7 s of full-speed
+device time and refills over minutes of idle; back-to-back probes read the
+throttle, not the chip).
+
+    python tools/profile_campaign.py [--wait-pid PID] [--idle 270] [--log PATH]
+
+--wait-pid blocks until the given process (e.g. a running bench.py) exits,
+then waits one extra idle gap before the first probe.
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+STAGES = [
+    # (PROFILE_STAGES selector, reps arg)
+    ("full step", "3"),
+    ("features(all)", "3"),
+    ("yolov8n", "3"),
+    ("pyramid", "3"),
+    ("pyr+detect", "3"),
+    ("pyr+det+patches", "3"),
+    ("match+ransac", "3"),
+    ("match(15", "3"),
+    ("pyr+extrema", "3"),
+    ("pyr+ext+hessian", "3"),
+    ("gray", "3"),
+]
+
+
+def pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wait-pid", type=int, default=None)
+    ap.add_argument("--idle", type=int, default=270)
+    ap.add_argument("--log", default="/tmp/profile_campaign.log")
+    a = ap.parse_args()
+
+    def log(msg):
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        with open(a.log, "a") as fh:
+            fh.write(line + "\n")
+
+    if a.wait_pid:
+        log(f"waiting for pid {a.wait_pid} to exit")
+        while pid_alive(a.wait_pid):
+            time.sleep(20)
+        log(f"pid {a.wait_pid} exited; idling {a.idle}s before first probe")
+        time.sleep(a.idle)
+
+    for i, (sel, reps) in enumerate(STAGES):
+        if i:
+            time.sleep(a.idle)
+        env = dict(os.environ)
+        env["PROFILE_STAGES"] = sel
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(HERE, "profile_fused.py"), reps, "sift"],
+                capture_output=True, text=True, timeout=900, env=env,
+            )
+            body = out.stdout.strip() or out.stderr.strip()[-400:]
+        except subprocess.TimeoutExpired:
+            body = "TIMEOUT (900s) — tunnel likely wedged"
+        log(f"stage {sel!r} ({time.time() - t0:.0f}s):\n{body}")
+
+    log("campaign done")
+
+
+if __name__ == "__main__":
+    main()
