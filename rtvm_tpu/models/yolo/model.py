@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from rtvm_tpu.models.yolo.modules import C2f, ConvBnSiLU, DetectHead, SPPF
+from rtvm_tpu.models.yolo.modules import C2PSA, C2f, C3k2, ConvBnSiLU, DetectHead, SPPF
 
 # depth multiple, width multiple, ratio (last-stage channel ratio)
 VARIANTS = {
@@ -26,8 +26,17 @@ VARIANTS = {
     "yolov8m": (2 / 3, 0.75, 1.5),
     "yolov8l": (1.0, 1.00, 1.0),
     "yolov8x": (1.0, 1.25, 1.0),
-    # yolo11n in the reference is served by the closest v8 config here
-    "yolo11n": (1 / 3, 0.25, 2.0),
+}
+
+# YOLO11 family (reference main.py:44-51 loads yolo11n/s/l): depth multiple,
+# width multiple, max channels. Genuine 11-series trunk: C3k2 CSP blocks +
+# C2PSA attention on P5 + depthwise-separable cls head (see yolo11_features).
+VARIANTS11 = {
+    "yolo11n": (0.50, 0.25, 1024),
+    "yolo11s": (0.50, 0.50, 1024),
+    "yolo11m": (0.50, 1.00, 512),
+    "yolo11l": (1.00, 1.00, 512),
+    "yolo11x": (1.00, 1.50, 512),
 }
 
 
@@ -81,6 +90,49 @@ def yolo_features(cfg: "YoloConfig", x, train: bool):
     return [n3, m4, m5]
 
 
+def yolo11_features(cfg: "YoloConfig", x, train: bool):
+    """YOLO11 trunk (C3k2 backbone + SPPF + C2PSA + PAN neck), strides 8/16/32.
+
+    Mirrors ultralytics' yolo11.yaml graph (the reference's yolo11n/s/l person
+    detector, main.py:44-51,118): e=0.25 C3k2 blocks early, c3k=True blocks at
+    P4/P5 (and throughout the neck for m/l/x), attention only on the stride-32
+    map where the token count stays tiny."""
+    dm, wm, mc = VARIANTS11[cfg.variant]
+
+    def ch(c: int) -> int:
+        return max(16, int(round(min(c, mc) * wm / 8)) * 8)
+
+    def rep(n: int) -> int:
+        return max(1, round(n * dm))
+
+    deep = cfg.variant[-1] in "mlx"  # m/l/x use c3k=True in every neck block
+    c3, c4, c5 = ch(256), ch(512), ch(1024)
+
+    # Backbone
+    x = ConvBnSiLU(ch(64), 3, 2)(x, train)  # P1
+    x = ConvBnSiLU(ch(128), 3, 2)(x, train)  # P2
+    x = C3k2(c3, rep(2), c3k=deep, expansion=0.25)(x, train)
+    x = ConvBnSiLU(c3, 3, 2)(x, train)  # P3
+    p3 = C3k2(c4, rep(2), c3k=deep, expansion=0.25)(x, train)
+    x = ConvBnSiLU(c4, 3, 2)(p3, train)  # P4
+    p4 = C3k2(c4, rep(2), c3k=True)(x, train)
+    x = ConvBnSiLU(c5, 3, 2)(p4, train)  # P5
+    x = C3k2(c5, rep(2), c3k=True)(x, train)
+    x = SPPF(c5)(x, train)
+    p5 = C2PSA(c5, rep(2))(x, train)
+
+    # PAN neck
+    u4 = jnp.concatenate([_upsample2(p5), p4], axis=-1)
+    n4 = C3k2(c4, rep(2), c3k=deep)(u4, train)
+    u3 = jnp.concatenate([_upsample2(n4), p3], axis=-1)
+    n3 = C3k2(c3, rep(2), c3k=deep)(u3, train)  # -> stride 8
+    d4 = jnp.concatenate([ConvBnSiLU(c3, 3, 2)(n3, train), n4], axis=-1)
+    m4 = C3k2(c4, rep(2), c3k=deep)(d4, train)  # -> stride 16
+    d5 = jnp.concatenate([ConvBnSiLU(c4, 3, 2)(m4, train), p5], axis=-1)
+    m5 = C3k2(c5, rep(2), c3k=True)(d5, train)  # -> stride 32
+    return [n3, m4, m5]
+
+
 class YOLOv8(nn.Module):
     cfg: YoloConfig
 
@@ -88,8 +140,11 @@ class YOLOv8(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: [B, H, W, 3] float (0..1 normalized). Returns (box_logits, cls_logits)
         per scale, NHWC."""
-        feats = yolo_features(self.cfg, x, train)
-        return DetectHead(self.cfg.num_classes, self.cfg.reg_max)(feats, train)
+        is11 = self.cfg.variant in VARIANTS11
+        feats = (yolo11_features if is11 else yolo_features)(self.cfg, x, train)
+        return DetectHead(self.cfg.num_classes, self.cfg.reg_max, dw_cls=is11)(
+            feats, train
+        )
 
 
 def _upsample2(x):

@@ -37,6 +37,48 @@ def test_yolo_forward_shapes(tiny_yolo):
     assert cls_l[0].shape[-1] == 80
 
 
+def test_yolo11_genuine_architecture():
+    """yolo11n is the real 11-series graph (C3k2 + C2PSA + DW cls head), not a
+    v8 alias (reference main.py:44-51 loads yolo11n as the person detector).
+    Param count pins the architecture: real yolo11n is ~2.6M at 80 classes."""
+    model, variables = build_yolo("yolo11n", num_classes=80, imgsz=64)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    box_l, cls_l = model.apply(variables, x, train=False)
+    assert [b.shape[1] for b in box_l] == [8, 4, 2]
+    assert cls_l[0].shape[-1] == 80
+    flat = jax.tree_util.tree_leaves(variables["params"])
+    n_params = sum(int(np.prod(p.shape)) for p in flat)
+    assert 2.3e6 < n_params < 2.9e6, n_params
+    # attention params exist (C2PSA) — the v8 alias had none
+    tree = str(jax.tree_util.tree_structure(variables["params"]))
+    assert "C2PSA" in tree and "SpatialAttention" in tree
+
+
+def test_yolo11_train_step_runs():
+    import optax
+
+    from rtvm_tpu.models.yolo.train import Targets, TrainState, make_train_step
+
+    model, variables = build_yolo("yolo11n", num_classes=8, imgsz=64)
+    tx = optax.adamw(1e-3)
+    st = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.int32(0),
+    )
+    step = jax.jit(make_train_step(model, tx))
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    tg = Targets(
+        boxes=jnp.tile(jnp.array([[8.0, 8.0, 24.0, 24.0]]), (2, 4, 1)),
+        classes=jnp.zeros((2, 4), jnp.int32),
+        valid=jnp.ones((2, 4), bool),
+    )
+    st2, metrics = step(st, imgs, tg)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(st2.step) == 1
+
+
 def test_decode_and_nms(tiny_yolo):
     model, variables = tiny_yolo
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
