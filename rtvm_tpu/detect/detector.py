@@ -95,7 +95,9 @@ class ObjectDetector:
                 try:
                     from rtvm_tpu.models.yolo.weights import convert_to_flax, load_ultralytics_state_dict
 
-                    self.variables = convert_to_flax(load_ultralytics_state_dict(path), self.variables)
+                    self.variables = convert_to_flax(
+                        load_ultralytics_state_dict(path), self.variables, variant=model
+                    )
                     self.weights_loaded = True
                     self.weights_source = path
                     print(f"Загружены веса: {path}")

@@ -105,6 +105,91 @@ def test_roundtrip_exact(model_vars):
         np.testing.assert_array_equal(a, b)
 
 
+def _c3k2_keys(prefix, n, c3k):
+    ks = _conv_keys(f"{prefix}.cv1") + _conv_keys(f"{prefix}.cv2")
+    for i in range(n):
+        if c3k:
+            ks += (
+                _conv_keys(f"{prefix}.m.{i}.cv1")
+                + _conv_keys(f"{prefix}.m.{i}.cv2")
+                + _conv_keys(f"{prefix}.m.{i}.cv3")
+            )
+            for j in range(2):
+                ks += _conv_keys(f"{prefix}.m.{i}.m.{j}.cv1")
+                ks += _conv_keys(f"{prefix}.m.{i}.m.{j}.cv2")
+        else:
+            ks += _conv_keys(f"{prefix}.m.{i}.cv1") + _conv_keys(f"{prefix}.m.{i}.cv2")
+    return ks
+
+
+def _yolo11n_state_keys():
+    """All state-dict keys of an ultralytics yolo11n DetectionModel (depth 0.50:
+    every C3k2/C2PSA has n=1; c3k=True at layers 6/8/22 for the n scale)."""
+    ks = []
+    ks += _conv_keys("model.0") + _conv_keys("model.1")
+    ks += _c3k2_keys("model.2", 1, False)
+    ks += _conv_keys("model.3") + _c3k2_keys("model.4", 1, False)
+    ks += _conv_keys("model.5") + _c3k2_keys("model.6", 1, True)
+    ks += _conv_keys("model.7") + _c3k2_keys("model.8", 1, True)
+    ks += _conv_keys("model.9.cv1") + _conv_keys("model.9.cv2")  # SPPF
+    # C2PSA (layer 10): cv1, cv2, one PSABlock (attn qkv/proj/pe + ffn 0/1)
+    ks += _conv_keys("model.10.cv1") + _conv_keys("model.10.cv2")
+    ks += _conv_keys("model.10.m.0.attn.qkv")
+    ks += _conv_keys("model.10.m.0.attn.proj")
+    ks += _conv_keys("model.10.m.0.attn.pe")
+    ks += _conv_keys("model.10.m.0.ffn.0") + _conv_keys("model.10.m.0.ffn.1")
+    ks += _c3k2_keys("model.13", 1, False) + _c3k2_keys("model.16", 1, False)
+    ks += _conv_keys("model.17") + _c3k2_keys("model.19", 1, False)
+    ks += _conv_keys("model.20") + _c3k2_keys("model.22", 1, True)
+    for s in range(3):  # head: box branch (Conv, Conv, Conv2d)
+        ks += _conv_keys(f"model.23.cv2.{s}.0")
+        ks += _conv_keys(f"model.23.cv2.{s}.1")
+        ks += [f"model.23.cv2.{s}.2.weight", f"model.23.cv2.{s}.2.bias"]
+    for s in range(3):  # cls branch (Seq(DWConv, Conv) x2, Conv2d)
+        for a in range(2):
+            ks += _conv_keys(f"model.23.cv3.{s}.{a}.0")
+            ks += _conv_keys(f"model.23.cv3.{s}.{a}.1")
+        ks += [f"model.23.cv3.{s}.2.weight", f"model.23.cv3.{s}.2.bias"]
+    ks.append("model.23.dfl.conv.weight")
+    return ks
+
+
+def test_yolo11_roundtrip_exact():
+    """Same inverse-mapped round trip for the genuine yolo11 graph (C3k2 nests,
+    C2PSA attention convs, DW-separable cls head)."""
+    import jax
+
+    _, variables = build_yolo("yolo11n", num_classes=80, imgsz=64, seed=0)
+    counter = [0]
+
+    def fill(x):
+        counter[0] += 1
+        return np.full(np.asarray(x).shape, float(counter[0]), np.float32)
+
+    target = jax.tree_util.tree_map(fill, jax.tree_util.tree_map(np.asarray, dict(variables)))
+
+    state = {}
+    for key in _yolo11n_state_keys():
+        m = ult_key_to_flax(key, "yolo11n")
+        if m is None:
+            state[key] = (
+                np.zeros((), np.int64)
+                if key.endswith("num_batches_tracked")
+                else np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1)
+            )
+            continue
+        coll, path, transpose = m
+        v = _get(target[coll], path)
+        state[key] = np.transpose(v, (3, 2, 0, 1)) if transpose else v
+
+    converted = convert_to_flax(state, variables, variant="yolo11n")
+    flat_t, _ = jax.tree_util.tree_flatten(target)
+    flat_c, _ = jax.tree_util.tree_flatten(converted)
+    assert len(flat_t) == len(flat_c)
+    for a, b in zip(flat_t, flat_c):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_gamma_beta_not_swapped(model_vars):
     """BN gamma (weight) must land on flax 'scale', beta (bias) on 'bias' — they
     share a shape, which is exactly what broke positional pairing."""
