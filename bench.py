@@ -2,8 +2,17 @@
 record per BASELINE.json config, measured as RAW BLOCKED dispatches (no RTT
 arithmetic anywhere).
 
-Prints ONE JSON line:
+Prints an aggregate JSON snapshot line AFTER EVERY config completes (the driver
+parses the LAST line, so a mid-run kill still leaves a valid, partial record on
+stdout), and the final snapshot from a SIGTERM handler / normal exit:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "configs": {...}}
+
+Deadline contract (round-4 fix for the r03 rc=124 empty-tail loss): the whole
+run fits inside BENCH_DEADLINE_S (default 1140 s) tracked from main() entry.
+Probes that no longer fit the remaining budget are skipped and recorded as
+{"skipped": "deadline"}; inter-config idle shrinks with the remaining slack;
+every probe subprocess gets a timeout capped to the remaining budget; probes
+run ONCE by default (BENCH_TRIES to raise).
 
 Measurement protocol — shaped by the axon tunnel's token-bucket duty governor,
 fully characterized in tools/tunnel_probe*.py and NOTES_ROUND3.md:
@@ -26,14 +35,12 @@ fully characterized in tools/tunnel_probe*.py and NOTES_ROUND3.md:
                     dispatch ~10x, so this number measures the TUNNEL's duty
                     policy, not the chip; it is reported for transparency.
 - The burst window count per config is PRE-DECLARED (est_fps below), not
-  selected after the fact. If the burst ran into a pre-drained bucket
-  (burst_fps < 0.6 * est), the probe retries once after a cool-down.
+  selected after the fact.
 - AOT compile (`jit(f).lower(args).compile()`) — an *executing* warm-up call
   during compile latches the governor before measurement starts.
-- The full-clip PSNR fidelity pass runs on the CPU backend in a background
-  subprocess started FIRST, so it overlaps the inter-config idle gaps and
-  never touches the device (the idle also guarantees a full bucket for the
-  headline config-3 probe that follows it).
+- The full-clip PSNR fidelity passes (ORB then SIFT) run on the CPU backend in
+  a background subprocess started FIRST, overlapping the probe gaps; each
+  result is collected as it lands and merged into the next snapshot.
 
 Baseline: the reference's published CPU throughput for 360p mosaicking is
 ~10-15 fps (reference README_EN.md:361-362); vs_baseline uses the 12.5
@@ -42,8 +49,10 @@ midpoint.
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 VIDEO = "/root/reference/Data/поиски квадрокоптера 2 (360p) 01.mp4"
@@ -63,6 +72,11 @@ CONFIGS = {
 }
 
 BUDGET_S = 0.55  # device-time budget one burst dispatch aims to fill
+
+# Conservative wall-cost estimates per probe (subprocess start + imports +
+# frame decode + AOT compile + dispatches), used only for skip/idle decisions.
+PROBE_COST_S = {"1": 180, "2": 200, "3": 280, "4": 360, "5": 300}
+PROBE_TIMEOUT_S = {"1": 600, "2": 600, "3": 700, "4": 900, "5": 700}
 
 
 def _load_frames(n, res=None):
@@ -94,8 +108,12 @@ def _cache():
 def device_probe():
     """Measure ONE config (env BENCH_CONFIG) in this fresh process: one
     burst-sized fused dispatch (raw blocked headline), then the rest of the
-    clip with the same compiled dispatch (sustained). Prints one JSON line."""
+    clip with the same compiled dispatch (sustained). Prints one JSON line.
+    BENCH_PROBE_DEADLINE_S bounds the sustained section: when exceeded, stop
+    dispatching and report what completed."""
     _cache()
+    t_probe = time.time()
+    probe_deadline = t_probe + float(os.environ.get("BENCH_PROBE_DEADLINE_S", "1e9"))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -113,6 +131,8 @@ def device_probe():
 
     frames = _load_frames(max_frames, c["res"])
     f0, rest = frames[0], frames[1:]
+    # never size the burst past the clip: at least one dispatch must exist
+    burst_w = min(burst_w, max(1, len(rest) // window))
     n_disp = len(rest) // (window * burst_w)
     n_windows = n_disp * burst_w
     chunks = rest[: n_windows * window].reshape(
@@ -156,15 +176,18 @@ def device_probe():
         jax.block_until_ready(st.canvas)
         ts.append(time.perf_counter() - t0)
         outs.append(aux.ok)
+        if time.time() > probe_deadline:
+            break  # sustained section truncated by the probe's own deadline
     ok_frames = int(np.asarray(jnp.concatenate([o.reshape(-1) for o in outs])).sum())
-    n_frames = n_windows * window
+    n_frames = len(ts) * burst_w * window
     fpd = burst_w * window  # frames per dispatch
     print(json.dumps({
         "config": cid,
         "name": c["name"],
         "frames": n_frames,
         "windows_per_dispatch": burst_w,
-        "dispatches": n_disp,
+        "dispatches": len(ts),
+        "dispatches_planned": n_disp,
         "accepted": ok_frames,
         "burst_frames": fpd,
         "burst_ms": round(ts[0] * 1e3, 1),
@@ -173,7 +196,7 @@ def device_probe():
         "dispatch_ms": [round(t * 1e3, 1) for t in ts[:8]],
         "total_s": round(float(np.sum(ts)), 4),
         "detector_ckpt": det_ckpt,
-    }))
+    }), flush=True)
 
 
 def stream_probe():
@@ -250,7 +273,7 @@ def stream_probe():
         "compile_s": round(compile_s, 1),
         "canvas": list(mosaic.canvas_shape),
         "detector_ckpt": det.weights_source,
-    }))
+    }), flush=True)
 
 
 def nav_probe():
@@ -293,14 +316,14 @@ def nav_probe():
         "nav_s": round(nav_s, 2),
         "fps_e2e_with_nav": round(stats["frames"] / total, 2),
         "nav_map_shape": list(np.asarray(nav).shape),
-    }))
+    }), flush=True)
 
 
-def _run_sub(mode, env=None, timeout=900, tries=2, est_fps=None, cooldown=None):
-    """Run a probe in a fresh subprocess, parse its last JSON line; retry once
-    after a long cool-down if it failed outright or the burst ran into a
-    pre-drained token bucket (burst far below the pre-declared estimate)."""
-    cooldown = cooldown or int(os.environ.get("BENCH_COOLDOWN_S", "300"))
+def _run_sub(mode, env=None, timeout=900, tries=1, est_fps=None, cooldown=None):
+    """Run a probe in a fresh subprocess, parse its last JSON line; optionally
+    retry after a cool-down (BENCH_TRIES>1) if it failed outright or the burst
+    ran into a pre-drained token bucket."""
+    cooldown = cooldown or int(os.environ.get("BENCH_COOLDOWN_S", "240"))
     best = None
     for attempt in range(tries):
         try:
@@ -349,20 +372,112 @@ def _device_healthy(timeout_s: int = 120) -> bool:
         return False
 
 
-def _psnr_code(n_frames: int) -> str:
+def _psnr_code(n_frames: int, sift_frames: int) -> str:
+    """CPU-backend fidelity passes: ORB first (headline parity), then SIFT
+    (VERDICT r3 item 5 — the reference's default path, main.py:33). Each
+    result prints as its own JSON line the parent collects as it lands."""
     return (
-        "import sys; sys.path.insert(0, %r); "
+        "import sys, json; sys.path.insert(0, %r); "
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "from rtvm_tpu.utils.fidelity import mosaic_psnr_vs_opencv; "
-        "import json; print(json.dumps({'psnr': mosaic_psnr_vs_opencv(%r, "
-        "n_frames=%d, window=16, detector='orb')}))"
-        % (os.path.dirname(os.path.abspath(__file__)), VIDEO, n_frames)
+        "print(json.dumps({'psnr_orb': mosaic_psnr_vs_opencv(%r, n_frames=%d, "
+        "window=16, detector='orb')}), flush=True); "
+        "print(json.dumps({'psnr_sift': mosaic_psnr_vs_opencv(%r, n_frames=%d, "
+        "window=16, detector='sift')}), flush=True)"
+        % (os.path.dirname(os.path.abspath(__file__)), VIDEO, n_frames,
+           VIDEO, sift_frames)
     )
+
+
+class _PsnrCollector:
+    """Reads the PSNR subprocess's stdout on a thread; results merge into each
+    snapshot as they land (the subprocess outlives probes but not the run)."""
+
+    def __init__(self, n_frames: int, sift_frames: int):
+        self.results = {}
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _psnr_code(n_frames, sift_frames)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        self._t = threading.Thread(target=self._read, daemon=True)
+        self._t.start()
+
+    def _read(self):
+        for line in self.proc.stdout:
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    self.results.update(json.loads(line))
+                except Exception:
+                    pass
+
+    def wait(self, timeout: float):
+        try:
+            self.proc.wait(timeout=max(0.0, timeout))
+        except Exception:
+            pass
+        self._t.join(timeout=2)
+
+    def kill(self):
+        try:
+            self.proc.kill()
+        except Exception:
+            pass
 
 
 def main():
     t_start = time.time()
-    if not _device_healthy():
+    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "1140"))
+
+    def remaining():
+        return deadline - time.time()
+
+    results = {}
+    psnr = None  # _PsnrCollector, set after the health check
+
+    def snapshot():
+        head = results.get("3") or results.get("1") or {}
+        value = head.get("burst_fps") if isinstance(head, dict) else None
+        pr = psnr.results if psnr else {}
+        return {
+            "metric": (head.get("name", "stitch_yolo") if isinstance(head, dict)
+                       else "stitch_yolo") + "_burst_blocked",
+            "value": value,
+            "unit": "fps",
+            "vs_baseline": round(value / BASELINE_FPS, 2) if value else None,
+            "mosaic_psnr_vs_opencv_db": (round(pr["psnr_orb"], 2)
+                                         if "psnr_orb" in pr else None),
+            "mosaic_psnr_sift_db": (round(pr["psnr_sift"], 2)
+                                    if "psnr_sift" in pr else None),
+            "configs": results,
+            "tunnel_governor": {
+                "note": "axon tunnel grants ~0.7s full-speed device time from "
+                        "idle, then throttles execution ~10x; burst_fps is ONE "
+                        "raw blocked multi-window dispatch (RTT paid inside), "
+                        "sustained_fps is the governor-throttled rate",
+                "evidence": "tools/tunnel_probe*.py; async full-clip enqueue "
+                            "measured 39.5 fps vs ~300 fps single-dispatch "
+                            "bursts (config 1)",
+            },
+            "wall_s": round(time.time() - t_start, 1),
+        }
+
+    def emit():
+        # None (JSON null), never NaN — bare NaN breaks strict JSON consumers
+        print(json.dumps(snapshot()), flush=True)
+
+    def on_term(signum, frame):
+        # The driver's timeout kill: flush the current snapshot as the final
+        # line so partial results survive (round-3 rc=124 lost everything).
+        if psnr:
+            psnr.kill()
+        emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    if not _device_healthy(timeout_s=int(min(120, max(10, remaining() - 60)))):
         print(json.dumps({
             "metric": "stitch_yolo_blocked_fps",
             "value": None,
@@ -370,66 +485,65 @@ def main():
             "vs_baseline": None,
             "error": "device unavailable: tiny blocked op did not complete in 120s "
                      "(wedged axon tunnel); see NOTES_ROUND3.md findings 16/17",
-        }))
+        }), flush=True)
         return
 
     # Full-clip PSNR on the CPU backend, in the background: overlaps the
-    # inter-config idle gaps; the device sits idle while it warms up, which
-    # refills the governor bucket ahead of the headline probe.
-    psnr_frames = int(os.environ.get("BENCH_PSNR_FRAMES", "600"))
-    psnr_proc = subprocess.Popen(
-        [sys.executable, "-c", _psnr_code(psnr_frames)],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    # probe gaps; the device sits idle while it warms up, which refills the
+    # governor bucket ahead of the headline probe.
+    psnr = _PsnrCollector(
+        int(os.environ.get("BENCH_PSNR_FRAMES", "600")),
+        int(os.environ.get("BENCH_PSNR_SIFT_FRAMES", "192")),
     )
-    idle_s = int(os.environ.get("BENCH_IDLE_S", "240"))
-    time.sleep(int(os.environ.get("BENCH_WARM_IDLE_S", "120")))  # refill bucket
 
-    # Headline config first (full bucket), then the rest, idle-spaced so each
-    # probe's burst starts from a refilled bucket.
-    which = os.environ.get("BENCH_CONFIGS", "3,1,2,5,4").split(",")
-    results = {}
-    for i, cid in enumerate(c.strip() for c in which):
-        if i:
-            time.sleep(idle_s)
-        if cid == "4":
-            results[cid] = _run_sub("--nav-probe", timeout=1800)
-        elif cid == "5":
-            results[cid] = _run_sub("--stream-probe", timeout=1200)
-        else:
-            results[cid] = _run_sub(
-                "--device-probe", env={"BENCH_CONFIG": cid},
-                est_fps=CONFIGS[cid]["est_fps"],
-            )
+    tries = int(os.environ.get("BENCH_TRIES", "1"))
+    idle_cap = int(os.environ.get("BENCH_IDLE_S", "90"))
+    which = [c.strip() for c in os.environ.get("BENCH_CONFIGS", "3,1,2,5,4").split(",")]
 
-    psnr = None
+    # Warm idle before the headline probe, only as slack allows.
+    planned = sum(PROBE_COST_S.get(c, 300) for c in which)
+    warm = min(int(os.environ.get("BENCH_WARM_IDLE_S", "120")),
+               max(0, int(remaining() - planned - 60)))
+    time.sleep(warm)
+
     try:
-        out, _ = psnr_proc.communicate(timeout=max(60, 1800 - (time.time() - t_start)))
-        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
-        psnr = round(json.loads(lines[-1])["psnr"], 2) if lines else None
-    except Exception:
-        psnr_proc.kill()
+        ran_any = False
+        for cid in which:
+            cost = PROBE_COST_S.get(cid, 300)
+            if remaining() < cost + 20:
+                results[cid] = {"config": cid, "skipped": "deadline",
+                                "remaining_s": round(remaining(), 1)}
+                emit()
+                continue
+            if ran_any:
+                # Idle so the next burst starts from a (partially) refilled
+                # bucket — but never at the cost of dropping a later config.
+                left = [c for c in which if c not in results and c != cid]
+                slack = remaining() - cost - sum(PROBE_COST_S.get(c, 300) for c in left)
+                time.sleep(max(0, min(idle_cap, int(slack / (len(left) + 1)))))
+            timeout = min(PROBE_TIMEOUT_S.get(cid, 700), max(30, remaining() - 15))
+            probe_env = {"BENCH_PROBE_DEADLINE_S": str(int(timeout - 20))}
+            if cid == "4":
+                results[cid] = _run_sub("--nav-probe", env=probe_env, timeout=timeout,
+                                        tries=tries)
+            elif cid == "5":
+                results[cid] = _run_sub("--stream-probe", env=probe_env,
+                                        timeout=timeout, tries=tries)
+            else:
+                probe_env["BENCH_CONFIG"] = cid
+                results[cid] = _run_sub(
+                    "--device-probe", env=probe_env, timeout=timeout, tries=tries,
+                    est_fps=CONFIGS[cid]["est_fps"],
+                )
+            ran_any = True
+            emit()
 
-    head = results.get("3") or results.get("1") or {}
-    # None (JSON null), never NaN — bare NaN breaks strict JSON consumers
-    value = head.get("burst_fps")
-    out = {
-        "metric": head.get("name", "stitch_yolo") + "_burst_blocked",
-        "value": value,
-        "unit": "fps",
-        "vs_baseline": round(value / BASELINE_FPS, 2) if value else None,
-        "mosaic_psnr_vs_opencv_db": psnr,
-        "configs": results,
-        "tunnel_governor": {
-            "note": "axon tunnel grants ~0.7s full-speed device time from idle, "
-                    "then throttles execution ~10x; burst_fps is ONE raw blocked "
-                    "multi-window dispatch (RTT paid inside), sustained_fps is "
-                    "the governor-throttled whole-clip rate",
-            "evidence": "tools/tunnel_probe*.py; async full-clip enqueue measured "
-                        "39.5 fps vs ~300 fps single-dispatch bursts (config 1)",
-        },
-        "wall_s": round(time.time() - t_start, 1),
-    }
-    print(json.dumps(out))
+        # Let the PSNR passes finish if budget remains; otherwise take what
+        # landed (each pass printed as it completed).
+        psnr.wait(timeout=remaining() - 10)
+        psnr.kill()
+    finally:
+        emit()
 
 
 if __name__ == "__main__":
