@@ -30,33 +30,57 @@ AERIAL_CLASSES = [
     "greenhouse", "warehouse", "pool", "boat",
 ]
 
-_BUILDING_SYNONYMS = {
-    "house", "roof", "rooftop", "shed", "barn", "garage", "greenhouse", "warehouse",
-    "cabin", "hut", "cottage", "structure", "home", "residence", "apartment",
-    "construction", "facility", "factory", "hangar", "storage", "silo", "tower",
-    "chapel", "church", "station", "terminal", "pavilion", "kiosk", "booth",
+# Canonical class -> every open-vocab name the reference folds into it
+# (reference main.py:352-409, full enumeration; _REVERSE inverts at import).
+# Beyond the reference list we keep a few extra synonyms (pickup/suv/ship/...)
+# and substring fallbacks below — strict supersets that never change the
+# mapping of any name the reference handles.
+_SYNONYMS = {
+    "car": ["car", "vehicle", "automobile", "van", "suv", "sedan"],
+    "truck": ["truck", "pickup", "pickup truck", "lorry"],
+    "bus": ["bus", "minibus"],
+    "motorcycle": ["motorcycle", "motorbike"],
+    "bicycle": ["bicycle"],
+    "person": ["person", "people", "human", "pedestrian"],
+    "fire": ["fire", "flame"],
+    "smoke": ["smoke"],
+    "explosion": ["explosion"],
+    "dog": ["dog"],
+    "cat": ["cat"],
+    "bird": ["bird"],
+    "animal": ["animal"],
+    "building": [
+        "building", "house", "roof", "structure", "shed", "barn", "garage",
+        "greenhouse", "warehouse", "cottage", "cabin", "hut", "shelter",
+        "rooftop", "construction", "facility", "residential building",
+        "metal roof", "wooden building", "container", "storage", "outbuilding",
+        "farmhouse", "pavilion", "canopy", "carport", "shack",
+        # extras beyond the reference list
+        "home", "residence", "apartment", "factory", "hangar", "silo", "tower",
+        "chapel", "church", "station", "terminal", "kiosk", "booth",
+    ],
+    "boat": ["boat", "ship"],
+    "airplane": ["airplane"],
+    "helicopter": ["helicopter"],
+    "drone": ["drone"],
+    "pool": ["pool"],
+    "tent": ["tent"],
+    "solar_panel": ["solar panel", "solar_panel"],
+    "fence": ["fence"],
+    "garden_bed": ["garden bed", "garden_bed"],
+    "horse": ["horse"],
+    "sheep": ["sheep"],
+    "cow": ["cow"],
 }
-_VEHICLE_MAP = {
-    "van": "truck", "pickup": "truck", "pickup truck": "truck", "lorry": "truck",
-    "suv": "car", "sedan": "car", "automobile": "car", "vehicle": "car",
-    "minibus": "bus", "motorbike": "motorcycle",
-}
-_CANONICAL = {
-    "person", "car", "truck", "bus", "motorcycle", "bicycle", "boat", "dog", "cat",
-    "building", "fire", "smoke", "pool", "tent", "solar_panel", "bird", "horse",
-    "sheep", "cow",
-}
+_REVERSE = {syn: canon for canon, syns in _SYNONYMS.items() for syn in syns}
+_CANONICAL = set(_SYNONYMS)
 
 
 def normalize_class_name(name: str) -> str:
     """Canonicalize an open-vocabulary class name (reference main.py:351-411)."""
     n = name.strip().lower().replace("-", " ")
-    if n in _CANONICAL:
-        return n
-    if n in _BUILDING_SYNONYMS:
-        return "building"
-    if n in _VEHICLE_MAP:
-        return _VEHICLE_MAP[n]
+    if n in _REVERSE:
+        return _REVERSE[n]
     if "fire" in n or "flame" in n:
         return "fire"
     if "smoke" in n:
@@ -72,10 +96,14 @@ def normalize_class_name(name: str) -> str:
     return n.replace(" ", "_")
 
 
-# Obstacle class groups used by the navigation map builder (reference main.py:1068-1130).
+# Obstacle class groups used by the navigation map builder (reference
+# main.py:1073-1077: danger/vehicle/living exactly as below; static there is
+# ['bicycle', 'building'] — we additionally treat explosion as danger and
+# boat/pool/tent/solar_panel as static obstacles, classes the reference's nav
+# stage silently ignores).
 OBSTACLE_GROUPS = {
-    "danger": {"fire", "smoke"},  # 40 px buffer, weight 1.0
-    "vehicle": {"car", "truck", "bus", "motorcycle", "bicycle", "boat"},  # 25 px, 0.9
+    "danger": {"fire", "smoke", "explosion"},  # 40 px buffer, weight 1.0
+    "vehicle": {"car", "truck", "bus", "motorcycle"},  # 25 px, 0.9
     "living": {"person", "dog", "cat", "horse", "sheep", "cow", "bird"},  # 20 px, 0.85
-    "static": {"building", "pool", "tent", "solar_panel"},  # 15 px, 0.7
+    "static": {"bicycle", "building", "boat", "pool", "tent", "solar_panel"},  # 15 px, 0.7
 }

@@ -15,12 +15,54 @@ from rtvm_tpu.models.yolo import postprocess as pp
 def test_normalize_class_name():
     assert C.normalize_class_name("roof") == "building"
     assert C.normalize_class_name("Warehouse") == "building"
-    assert C.normalize_class_name("van") == "truck"
     assert C.normalize_class_name("SUV") == "car"
     assert C.normalize_class_name("flame burst") == "fire"
     assert C.normalize_class_name("swimming pool") == "pool"
     assert C.normalize_class_name("person") == "person"
     assert C.normalize_class_name("weird thing") == "weird_thing"
+
+
+# The reference's FULL canonicalization table, enumerated from
+# main.py:352-409 (every branch, every synonym) — behavior parity.
+_REFERENCE_MAPPING = {
+    "car": ["car", "vehicle", "automobile", "van"],
+    "truck": ["truck"],
+    "bus": ["bus"],
+    "motorcycle": ["motorcycle"],
+    "bicycle": ["bicycle"],
+    "person": ["person", "people", "human", "pedestrian"],
+    "fire": ["fire", "flame"],
+    "smoke": ["smoke"],
+    "explosion": ["explosion"],
+    "dog": ["dog"],
+    "cat": ["cat"],
+    "bird": ["bird"],
+    "animal": ["animal"],
+    "building": [
+        "building", "house", "roof", "structure", "shed", "barn", "garage",
+        "greenhouse", "warehouse", "cottage", "cabin", "hut", "shelter",
+        "rooftop", "construction", "facility", "residential building",
+        "metal roof", "wooden building", "container", "storage",
+        "outbuilding", "farmhouse", "pavilion", "canopy", "carport", "shack",
+    ],
+    "boat": ["boat", "ship"],
+    "airplane": ["airplane"],
+    "helicopter": ["helicopter"],
+    "drone": ["drone"],
+    "pool": ["pool"],
+    "tent": ["tent"],
+    "solar_panel": ["solar panel"],
+    "fence": ["fence"],
+    "garden_bed": ["garden bed"],
+}
+
+
+def test_normalize_class_name_reference_parity():
+    """Every (input, output) pair of the reference's _normalize_class_name
+    (main.py:352-409) maps identically through ours."""
+    for canon, synonyms in _REFERENCE_MAPPING.items():
+        for syn in synonyms:
+            assert C.normalize_class_name(syn) == canon, (syn, canon)
 
 
 @pytest.fixture(scope="module")
