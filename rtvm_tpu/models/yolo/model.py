@@ -11,6 +11,7 @@ files lives in weights.py; with no checkpoint the model runs randomly initialize
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -40,8 +41,27 @@ VARIANTS11 = {
 }
 
 
+def _make_divisible(x: float) -> int:
+    """Ultralytics make_divisible(x, 8) semantics (ceil, not round) so any
+    future custom width multiple converts checkpoints without shape drift."""
+    return max(16, math.ceil(x / 8) * 8)
+
+
 def _ch(w: float, c: int) -> int:
-    return max(16, int(round(c * w / 8)) * 8)
+    return _make_divisible(c * w)
+
+
+# c3k flag per ultralytics yolo11.yaml C3k2 layer index (backbone 2/4/6/8,
+# neck 13/16/19/22): n/s run plain bottlenecks except at 6/8/22; m/l/x
+# ("deep") use nested C3k everywhere. SINGLE source of truth shared by
+# yolo11_features and the checkpoint converter (weights.c3k_layer_indices).
+_C3K2_LAYERS = ("2", "4", "6", "8", "13", "16", "19", "22")
+_C3K_ALWAYS = frozenset({"6", "8", "22"})
+
+
+def yolo11_c3k_flags(variant: str) -> dict:
+    deep = variant[-1] in "mlx"
+    return {i: deep or i in _C3K_ALWAYS for i in _C3K2_LAYERS}
 
 
 def _d(dm: float, n: int) -> int:
@@ -100,36 +120,36 @@ def yolo11_features(cfg: "YoloConfig", x, train: bool):
     dm, wm, mc = VARIANTS11[cfg.variant]
 
     def ch(c: int) -> int:
-        return max(16, int(round(min(c, mc) * wm / 8)) * 8)
+        return _make_divisible(min(c, mc) * wm)
 
     def rep(n: int) -> int:
         return max(1, round(n * dm))
 
-    deep = cfg.variant[-1] in "mlx"  # m/l/x use c3k=True in every neck block
+    c3k = yolo11_c3k_flags(cfg.variant)  # shared with the weight converter
     c3, c4, c5 = ch(256), ch(512), ch(1024)
 
     # Backbone
     x = ConvBnSiLU(ch(64), 3, 2)(x, train)  # P1
     x = ConvBnSiLU(ch(128), 3, 2)(x, train)  # P2
-    x = C3k2(c3, rep(2), c3k=deep, expansion=0.25)(x, train)
+    x = C3k2(c3, rep(2), c3k=c3k["2"], expansion=0.25)(x, train)
     x = ConvBnSiLU(c3, 3, 2)(x, train)  # P3
-    p3 = C3k2(c4, rep(2), c3k=deep, expansion=0.25)(x, train)
+    p3 = C3k2(c4, rep(2), c3k=c3k["4"], expansion=0.25)(x, train)
     x = ConvBnSiLU(c4, 3, 2)(p3, train)  # P4
-    p4 = C3k2(c4, rep(2), c3k=True)(x, train)
+    p4 = C3k2(c4, rep(2), c3k=c3k["6"])(x, train)
     x = ConvBnSiLU(c5, 3, 2)(p4, train)  # P5
-    x = C3k2(c5, rep(2), c3k=True)(x, train)
+    x = C3k2(c5, rep(2), c3k=c3k["8"])(x, train)
     x = SPPF(c5)(x, train)
     p5 = C2PSA(c5, rep(2))(x, train)
 
     # PAN neck
     u4 = jnp.concatenate([_upsample2(p5), p4], axis=-1)
-    n4 = C3k2(c4, rep(2), c3k=deep)(u4, train)
+    n4 = C3k2(c4, rep(2), c3k=c3k["13"])(u4, train)
     u3 = jnp.concatenate([_upsample2(n4), p3], axis=-1)
-    n3 = C3k2(c3, rep(2), c3k=deep)(u3, train)  # -> stride 8
+    n3 = C3k2(c3, rep(2), c3k=c3k["16"])(u3, train)  # -> stride 8
     d4 = jnp.concatenate([ConvBnSiLU(c3, 3, 2)(n3, train), n4], axis=-1)
-    m4 = C3k2(c4, rep(2), c3k=deep)(d4, train)  # -> stride 16
+    m4 = C3k2(c4, rep(2), c3k=c3k["19"])(d4, train)  # -> stride 16
     d5 = jnp.concatenate([ConvBnSiLU(c4, 3, 2)(m4, train), p5], axis=-1)
-    m5 = C3k2(c5, rep(2), c3k=True)(d5, train)  # -> stride 32
+    m5 = C3k2(c5, rep(2), c3k=c3k["22"])(d5, train)  # -> stride 32
     return [n3, m4, m5]
 
 

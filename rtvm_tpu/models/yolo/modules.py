@@ -16,10 +16,14 @@ import jax.numpy as jnp
 
 
 class ConvBnSiLU(nn.Module):
+    """Conv + BatchNorm + optional SiLU (ultralytics Conv; act=False variants
+    share the same conv/BN hyperparameters by construction)."""
+
     out_ch: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
+    act: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,7 +39,7 @@ class ConvBnSiLU(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=x.dtype
         )(x)
-        return nn.silu(x)
+        return nn.silu(x) if self.act else x
 
 
 class Bottleneck(nn.Module):
@@ -96,27 +100,13 @@ class SPPF(nn.Module):
         return ConvBnSiLU(self.out_ch, 1)(jnp.concatenate(pools, axis=-1), train)
 
 
-class ConvBn(nn.Module):
+class ConvBn(ConvBnSiLU):
     """Conv + BatchNorm without activation (qkv/pe/proj convs in YOLO11's
-    attention use act=False)."""
+    attention use act=False). Subclass keeps the flax module name — and thus
+    every existing checkpoint path — while sharing the conv/BN definition."""
 
-    out_ch: int
     kernel: int = 1
-    groups: int = 1
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.out_ch,
-            (self.kernel, self.kernel),
-            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=x.dtype,
-        )(x)
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=x.dtype
-        )(x)
+    act: bool = False
 
 
 class C3k(nn.Module):

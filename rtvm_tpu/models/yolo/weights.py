@@ -71,14 +71,12 @@ _TOP11 = {
 
 def c3k_layer_indices(variant: str) -> frozenset:
     """Ultralytics layer indices whose C3k2 runs with c3k=True — needed to
-    disambiguate ``m.i.cv1`` keys (plain Bottleneck vs nested C3k). n/s scales
-    use c3k only at P4/P5 + the last neck block; m/l/x everywhere (the same
-    rule model.py yolo11_features encodes with its ``deep`` flag)."""
-    deep = variant[-1] in "mlx"
-    idx = {"6", "8", "22"}
-    if deep:
-        idx |= {"2", "4", "13", "16", "19"}
-    return frozenset(idx)
+    disambiguate ``m.i.cv1`` keys (plain Bottleneck vs nested C3k). Derived
+    from model.yolo11_c3k_flags, the single source of truth the architecture
+    itself consumes, so converter and graph cannot drift."""
+    from rtvm_tpu.models.yolo.model import yolo11_c3k_flags
+
+    return frozenset(i for i, f in yolo11_c3k_flags(variant).items() if f)
 
 
 def load_ultralytics_state_dict(pt_path: str) -> Dict[str, np.ndarray]:
