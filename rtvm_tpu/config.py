@@ -102,6 +102,14 @@ class MosaicConfig:
     auto_grow: bool = False
     grow_margin: int = 48
     grow_quantum: int = 256
+    # Pre-scanned canvas geometry (config-5 fused streaming): when canvas_hw
+    # is set, the canvas is allocated with exactly (rows, cols) and the first
+    # frame seeds at seed_offset (row, col) instead of the output_*_times
+    # bottom-center heuristic. Computed by mosaic.prescan.prescan_canvas from
+    # a cheap strided host-side motion scan so the fused clip path can run
+    # without reactive growth.
+    canvas_hw: Optional[Tuple[int, int]] = None
+    seed_offset: Optional[Tuple[int, int]] = None
     features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
     ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)

@@ -402,12 +402,22 @@ class VideMosaic:
         first_image = np.asarray(first_image)
         h, w, c = first_image.shape
         self.frame_shape = (h, w, c)
-        hc = int(config.output_height_times * h)
-        wc = int(config.output_width_times * w)
-        self.canvas_shape = (hc, wc, c)
-        # Reference offsets (main.py:85-88): frame 0 sits at the bottom, centered in x.
-        self.w_offset = hc - h  # row offset
-        self.h_offset = int(wc / 2 - w / 2)  # col offset
+        if config.canvas_hw is not None:
+            # Pre-scanned geometry (mosaic/prescan.py): exact canvas + seed
+            # placement so the fused clip path never needs reactive growth.
+            hc, wc = config.canvas_hw
+            self.canvas_shape = (hc, wc, c)
+            r0, c0 = config.seed_offset or (hc - h, int(wc / 2 - w / 2))
+            self.w_offset = int(np.clip(r0, 0, hc - h))  # row offset
+            self.h_offset = int(np.clip(c0, 0, wc - w))  # col offset
+        else:
+            hc = int(config.output_height_times * h)
+            wc = int(config.output_width_times * w)
+            self.canvas_shape = (hc, wc, c)
+            # Reference offsets (main.py:85-88): frame 0 sits at the bottom,
+            # centered in x.
+            self.w_offset = hc - h  # row offset
+            self.h_offset = int(wc / 2 - w / 2)  # col offset
 
         self._window_steps = {}  # window size -> jitted step
         self._feature_fn = get_feature_fn(self.config)

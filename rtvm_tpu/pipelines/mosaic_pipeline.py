@@ -52,21 +52,35 @@ def run_mosaic(
     fire once at the end, and auto-grow/intermediate dumps are unavailable.
     """
     if fused:
-        # The fused scan cannot honor per-window host work: auto-grow
-        # decisions, Detections/*.jpg dumps, intermediate visualization.
-        # Fall back to the windowed loop (correctness over speed) instead of
-        # silently dropping those behaviors.
+        # The fused scan cannot honor per-window host work: Detections/*.jpg
+        # dumps, intermediate visualization. auto_grow alone no longer forces
+        # the downgrade: a cheap host-side motion pre-scan sizes the canvas up
+        # front so the fused path runs growth-free (reactive growth stays the
+        # fallback when the pre-scan cannot track the clip).
         needs_host_work = (
-            (config is not None and config.auto_grow)
-            or detections_dir is not None
-            or show_intermediate
-            or visualize
+            detections_dir is not None or show_intermediate or visualize
         )
+        if not needs_host_work and config is not None and config.auto_grow:
+            import dataclasses
+
+            from rtvm_tpu.mosaic.prescan import prescan_canvas_from_video
+
+            pre = prescan_canvas_from_video(video_path, max_frames=max_frames)
+            if pre is not None:
+                config = dataclasses.replace(
+                    config, canvas_hw=pre[0], seed_offset=pre[1], auto_grow=False
+                )
+                print(
+                    f"run_mosaic: предварительное сканирование — холст "
+                    f"{pre[0][0]}x{pre[0][1]}, смещение {pre[1]}"
+                )
+            else:
+                needs_host_work = True  # reactive growth requires the window loop
         if needs_host_work:
             print(
                 "run_mosaic: fused=True понижен до оконного цикла "
-                "(auto_grow/detections_dir/визуализация требуют пооконной "
-                "обработки)"
+                "(detections_dir/визуализация/неотслеживаемый рост требуют "
+                "пооконной обработки)"
             )
         else:
             return _run_mosaic_fused(
@@ -160,35 +174,21 @@ def _run_mosaic_fused(
     timer: Optional[StageTimer] = None,
     per_frame_detector=None,
 ) -> tuple[VideMosaic, dict]:
-    """Fused whole-clip path: decode everything, then stitch all full windows in
-    one blocked dispatch (+ optional batched per-frame detection INSIDE the same
-    dispatch, BASELINE config 3); tail frames (< one window) run via the normal
-    per-window step."""
+    """Fused streaming path: decode windows on the reader's worker thread WHILE
+    the device stitches the previous chunk (+ optional batched per-frame
+    detection INSIDE the same dispatch, BASELINE config 3); tail frames (< one
+    window) run via the normal per-window step.
+
+    Decode/dispatch overlap (round-4): chunks of `RTVM_CLIP_CHUNK` windows
+    dispatch as soon as they are decoded instead of pre-decoding the whole clip
+    (the old behavior serialized ~the full decode wall ahead of the first
+    dispatch). `decode_wait` in the timer records only the residual time the
+    dispatch loop actually stalled on the decoder."""
     import jax
 
     config = config or MosaicConfig()
     timer = timer or StageTimer()
     B = config.window_size
-
-    with timer.stage("decode"):
-        reader = VideoReader(video_path, window=B, max_frames=max_frames)
-        mosaic = VideMosaic(
-            reader.first_frame,
-            detector_type=detector_type,
-            config=config,
-        )
-        wins, valids = [], []
-        for frames, n_valid in reader.windows():
-            wins.append(frames)
-            valids.append(n_valid)
-
-    det_fn = None
-    if per_frame_detector is not None:
-        run = per_frame_detector._infer_fn(640, 0.25, 0.45)
-        det_fn = lambda fr: run(fr)
-
-    full = [w for w, v in zip(wins, valids) if v == B]
-    tail = [(w, v) for w, v in zip(wins, valids) if v < B]
 
     # Chunked fused dispatches: the tunnel governor latches on single
     # dispatches much past ~300 ms (NOTES_ROUND3 finding 15), which would
@@ -196,25 +196,65 @@ def _run_mosaic_fused(
     # nav) — so the clip runs as ceil(W/chunk) dispatches with the state
     # chained on-device. Two jit traces at most (chunk size + remainder).
     chunk = int(os.environ.get("RTVM_CLIP_CHUNK", "6"))
+
+    reader = VideoReader(
+        video_path, window=B, queue_depth=2 * chunk, max_frames=max_frames
+    )
+    with timer.stage("init"):
+        mosaic = VideMosaic(
+            reader.first_frame,
+            detector_type=detector_type,
+            config=config,
+        )
+
+    det_fn = None
+    if per_frame_detector is not None:
+        run = per_frame_detector._infer_fn(640, 0.25, 0.45)
+        det_fn = lambda fr: run(fr)
+
     t0 = time.perf_counter()
     aux = dets = None
-    if full:
+    auxes, detss = [], []
+    n_full = 0
+    n_frames = 0
+    buf: list = []  # full windows accumulating toward one chunk dispatch
+    tail: list = []  # the final short window, if any
+
+    def dispatch(windows):
+        nonlocal n_full
         with timer.stage("clip"):
-            stacked = np.stack(full)
-            auxes, detss = [], []
-            for i in range(0, len(full), chunk):
-                out = mosaic.process_clip(stacked[i : i + chunk], det_fn=det_fn)
-                a, d = out if det_fn is not None else (out, None)
-                auxes.append(a)
-                detss.append(d)
-                jax.block_until_ready(mosaic.state.canvas)
-            aux = jax.tree_util.tree_map(
-                lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *auxes
+            out = mosaic.process_clip(np.stack(windows), det_fn=det_fn)
+            a, d = out if det_fn is not None else (out, None)
+            auxes.append(a)
+            detss.append(d)
+            jax.block_until_ready(mosaic.state.canvas)
+        n_full += len(windows)
+
+    it = reader.windows()
+    while True:
+        with timer.stage("decode_wait"):
+            item = next(it, None)
+        if item is None:
+            break
+        frames, n_valid = item
+        n_frames += n_valid
+        if n_valid == B:
+            buf.append(frames)
+        else:
+            tail.append((frames, n_valid))
+        if len(buf) == chunk:
+            dispatch(buf)
+            buf = []
+    if buf:
+        dispatch(buf)  # remainder chunk (second jit trace)
+    if auxes:
+        aux = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *auxes
+        )
+        if det_fn is not None:
+            dets = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *detss
             )
-            if det_fn is not None:
-                dets = jax.tree_util.tree_map(
-                    lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *detss
-                )
     tail_ok = 0
     for frames, n_valid in tail:
         with timer.stage("window"):
@@ -223,7 +263,7 @@ def _run_mosaic_fused(
     np.asarray(mosaic.state.frame_idx)
     elapsed = time.perf_counter() - t0
 
-    frames_total = 1 + sum(valids)
+    frames_total = 1 + n_frames
     ok = (int(np.asarray(aux.ok).sum()) if aux is not None else 0) + tail_ok
     if update_callback is not None:
         update_callback(frames_total, mosaic.output_img_u8, 100.0)
@@ -232,8 +272,8 @@ def _run_mosaic_fused(
         "accepted": ok,
         "elapsed_s": elapsed,
         "fps": frames_total / elapsed if elapsed > 0 else 0.0,
-        "decode_s": timer.totals.get("decode", 0.0),
-        "fused_windows": len(full),
+        "decode_wait_s": timer.totals.get("decode_wait", 0.0),
+        "fused_windows": n_full,
     }
     if dets is not None:
         stats["det_scores_shape"] = tuple(np.asarray(dets.scores).shape)

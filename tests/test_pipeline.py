@@ -111,6 +111,42 @@ def test_fidelity_psnr_real_clip_128_frames():
     assert p >= 40.0, p
 
 
+def test_prescan_canvas_covers_pan(synthetic_video):
+    """The strided motion pre-scan must size a canvas that contains the whole
+    +5 px/frame, 20-frame pan (total extent ~420 px wide for a 320 px frame)."""
+    from rtvm_tpu.mosaic.prescan import prescan_canvas_from_video
+
+    pre = prescan_canvas_from_video(synthetic_video, stride=4)
+    assert pre is not None
+    (hc, wc), (r0, c0) = pre
+    assert wc >= 420 and hc >= 200
+    assert hc % 8 == 0 and wc % 128 == 0
+    # frame 0 must sit fully inside the canvas at the seed offset
+    assert 0 <= r0 <= hc - 200 and 0 <= c0 <= wc - 320
+
+
+def test_fused_auto_grow_uses_prescan(synthetic_video):
+    """auto_grow=True + fused=True routes through the pre-scan (not the
+    windowed downgrade) and the pre-sized canvas captures the full pan that
+    the default 1.2x-width canvas clips."""
+    from rtvm_tpu.pipelines.mosaic_pipeline import run_mosaic
+
+    cfg = MosaicConfig(
+        window_size=4, auto_grow=True,
+        features=FeatureConfig(detector_type="orb", max_keypoints=256),
+    )
+    mosaic, stats = run_mosaic(synthetic_video, config=cfg, detector_type="orb",
+                               fused=True)
+    assert stats["fused_windows"] == 5  # fused path taken, no downgrade
+    assert stats["accepted"] >= 19
+    # canvas wide enough for the whole pan (default would be 1.2*320=384)
+    assert mosaic.canvas_shape[1] >= 420
+    # painted content reaches beyond the default canvas width
+    painted = np.asarray(mosaic.output_img_u8).sum(-1) > 0
+    xs = np.where(painted.any(0))[0]
+    assert xs.max() - xs.min() >= 410
+
+
 def test_run_mosaic_fused_matches_windowed(tmp_path):
     """fused=True (whole-clip single dispatch via process_clip) must produce the
     same mosaic as the per-window loop on a short synthetic video."""
