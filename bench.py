@@ -148,7 +148,7 @@ def device_probe():
     if c["det"]:
         from rtvm_tpu.detect.detector import ObjectDetector
 
-        det = ObjectDetector(model=c["det"])
+        det = ObjectDetector(model=c["det"], load_world=False)
         det_ckpt = det.weights_source
         # rectangular letterbox: 360p frames at (384, 640) skip the square
         # 640x640 pad's 40% dead rows (postprocess.letterbox_params)
@@ -229,7 +229,7 @@ def stream_probe():
     # honestly instead and say so in the row's name/detector_ckpt.
     if not os.path.exists(os.path.join("weights", f"{det_model}_aerial.npz")):
         det_model = "yolov8n"
-    det = ObjectDetector(model=det_model)
+    det = ObjectDetector(model=det_model, load_world=False)
     if pre is None:
         return _stream_probe_windowed(window, rest, f0, det, det_model)
 

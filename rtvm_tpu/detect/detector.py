@@ -54,6 +54,7 @@ class ObjectDetector:
         weights_path: Optional[str] = None,
         num_classes: int = 80,
         seed: int = 0,
+        load_world: bool = True,
     ):
         self.model_name = model
         self.weights_loaded = False
@@ -107,7 +108,11 @@ class ObjectDetector:
 
         # Open-vocab companion (reference main.py:49-69: YOLO-World with the
         # 17-prompt aerial vocabulary, used as the primary detector when loaded).
+        # load_world=False skips it for closed-set-only callers (bench probes,
+        # per-frame detection) where the world head would only slow startup.
         self.model_world = None
+        if not load_world:
+            return
         try:
             from rtvm_tpu.models.yolo.world import YoloWorldDetector
 

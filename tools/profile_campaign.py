@@ -49,7 +49,32 @@ def main():
     ap.add_argument("--wait-pid", type=int, default=None)
     ap.add_argument("--idle", type=int, default=270)
     ap.add_argument("--log", default="/tmp/profile_campaign.log")
+    ap.add_argument("--json", default=None,
+                    help="also write parsed stage timings to this JSON file "
+                         "(updated after every probe)")
     a = ap.parse_args()
+
+    import json
+    import re
+
+    rows = {}
+    row_re = re.compile(
+        r"^(.{1,24}?)\s+([\d.]+) ms/window \(\s*([\d.]+) ms/frame\)\s+"
+        r"\[dispatch (\d+) ms / (\d+) reps\]"
+    )
+
+    def save_json():
+        if not a.json:
+            return
+        os.makedirs(os.path.dirname(a.json) or ".", exist_ok=True)
+        with open(a.json, "w") as fh:
+            json.dump({
+                "protocol": "scan-amortized stage timing, one stage per fresh "
+                            "process, idle-spaced (see tools/profile_fused.py)",
+                "platform": os.environ.get("RTVM_PLATFORM", "axon (tunneled TPU)"),
+                "window": int(os.environ.get("PROFILE_WINDOW", "16")),
+                "stages": rows,
+            }, fh, indent=1)
 
     def log(msg):
         line = f"[{time.strftime('%H:%M:%S')}] {msg}"
@@ -79,6 +104,16 @@ def main():
         except subprocess.TimeoutExpired:
             body = "TIMEOUT (900s) — tunnel likely wedged"
         log(f"stage {sel!r} ({time.time() - t0:.0f}s):\n{body}")
+        for line in body.splitlines():
+            mt = row_re.match(line.strip())
+            if mt:
+                rows[mt.group(1).strip()] = {
+                    "ms_per_window": float(mt.group(2)),
+                    "ms_per_frame": float(mt.group(3)),
+                    "dispatch_ms": int(mt.group(4)),
+                    "reps": int(mt.group(5)),
+                }
+        save_json()
 
     log("campaign done")
 
