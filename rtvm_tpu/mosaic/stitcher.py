@@ -246,25 +246,37 @@ def make_step_body(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
         )(H_abs_seq)
 
         def paint_scan(warp_fn):
-            def body(carry, xs):
-                canvas, union = carry
-                frame_cm, H_abs, ok_r, fwp = xs
-                new_px = warp_fn(frame_cm, H_abs)
-                w_new = warp_ops.frame_weight_with_holes(
-                    new_px, warp_ops.frame_weight_eval(fwp, hc, wc)
-                )
-                w_new = jnp.where(ok_r, w_new, 0.0)  # skipped frame -> no-op blend
-                # reference blend semantics: weights = distance transforms of the
-                # new frame mask and the current mosaic mask (main.py:884-905)
-                w_old = warp_ops.union_weight(canvas, union, hc, wc)
-                canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
-                union = union | warp_ops.coarse_footprint(w_new)
-                return (canvas, union), None
-
             def run(operand):
                 canvas0, union0 = operand
+                # Per-frame warp + weight construction is frame-INDEPENDENT —
+                # batch it over the window instead of serializing it inside the
+                # blend scan (round-4: the in-scan version measured ~3.7
+                # ms/frame of the 6.2 ms step; [B, Hc, Wc]-batched ops use the
+                # VPU far better than B serial [Hc, Wc] ops). Only the blend
+                # recurrence (w_old depends on the running canvas) stays
+                # sequential — exactly the reference's frame-by-frame
+                # semantics (main.py:884-905).
+                new_seq = jax.vmap(warp_fn)(frames_cm, H_abs_seq)
+                wq_seq = jax.vmap(
+                    lambda fw: warp_ops.frame_weight_eval(fw, hc, wc)
+                )(fw_params)
+                wnew_seq = jax.vmap(warp_ops.frame_weight_with_holes)(new_seq, wq_seq)
+                # skipped frame -> no-op blend
+                wnew_seq = jnp.where(blended_seq[:, None, None], wnew_seq, 0.0)
+                foot_seq = jax.vmap(warp_ops.coarse_footprint)(wnew_seq)
+
+                def body(carry, xs):
+                    canvas, union = carry
+                    new_px, w_new, foot = xs
+                    # reference blend semantics: weights = distance transforms
+                    # of the new frame mask and the current mosaic mask
+                    w_old = warp_ops.union_weight(canvas, union, hc, wc)
+                    canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
+                    union = union | foot
+                    return (canvas, union), None
+
                 (canvas, union), _ = jax.lax.scan(
-                    body, (canvas0, union0), (frames_cm, H_abs_seq, blended_seq, fw_params)
+                    body, (canvas0, union0), (new_seq, wnew_seq, foot_seq)
                 )
                 return canvas, union
 

@@ -33,6 +33,14 @@ STAGES = [
     ("pyr+extrema", "3"),
     ("pyr+ext+hessian", "3"),
     ("gray", "3"),
+    # paint-path decomposition (round 4): warp tier vs weights vs full blend
+    ("paint(pallas", "3"),
+    ("warp(pallas", "3"),
+    ("paint(two_pass", "3"),
+    ("warp(two_pass", "3"),
+    ("weights(frame+union", "3"),
+    ("paint(batched-pallas", "3"),
+    ("prescan(compose", "3"),
 ]
 
 
@@ -52,7 +60,13 @@ def main():
     ap.add_argument("--json", default=None,
                     help="also write parsed stage timings to this JSON file "
                          "(updated after every probe)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings: run only matching stages")
     a = ap.parse_args()
+    stages = STAGES
+    if a.only:
+        subs = [s for s in a.only.split(",") if s]
+        stages = [st for st in STAGES if any(s in st[0] for s in subs)]
 
     import json
     import re
@@ -62,6 +76,13 @@ def main():
         r"^(.{1,24}?)\s+([\d.]+) ms/window \(\s*([\d.]+) ms/frame\)\s+"
         r"\[dispatch (\d+) ms / (\d+) reps\]"
     )
+
+    if a.json and os.path.exists(a.json):
+        try:
+            with open(a.json) as fh:
+                rows.update(json.load(fh).get("stages", {}))
+        except Exception:
+            pass
 
     def save_json():
         if not a.json:
@@ -89,7 +110,7 @@ def main():
         log(f"pid {a.wait_pid} exited; idling {a.idle}s before first probe")
         time.sleep(a.idle)
 
-    for i, (sel, reps) in enumerate(STAGES):
+    for i, (sel, reps) in enumerate(stages):
         if i:
             time.sleep(a.idle)
         env = dict(os.environ)

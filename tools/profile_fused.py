@@ -252,6 +252,129 @@ def main(R=4, detector="sift"):
 
     timed("match+ransac(15)", ransac_stage, (desc, kp), reps=R)
 
+    # ---- paint path (warp + weights + blend into the canvas) ----
+    from rtvm_tpu.ops import warp as W
+
+    hc, wc = m.canvas_shape[0], m.canvas_shape[1]
+    hf, wf = m.frame_shape[0], m.frame_shape[1]
+    # translation-only H chain (~3 px/frame pan) — inside every warp regime
+    H_np = np.tile(np.eye(3, dtype=np.float32), (win, 1, 1))
+    H_np[:, 0, 2] = m.h_offset + 3.0 * np.arange(win)
+    H_np[:, 1, 2] = m.w_offset - 1.0 * np.arange(win)
+    H_seq = jnp.asarray(H_np)
+    frames_cm0 = jnp.moveaxis(dwin.astype(jnp.float32), -1, 1)  # [B, 3, H, W]
+
+    def fwp_of(Hs):
+        return jax.vmap(lambda Hh: W.frame_weight_params(Hh, hf, wf, hc, wc))(Hs)
+
+    def paint_with(warp_fn):
+        def stage(x):
+            canvas, union, fcm, Hs = x
+            fwp = fwp_of(Hs)
+
+            def body(carry, xs):
+                canvas, union = carry
+                f_cm, H_abs, fw = xs
+                new_px = warp_fn(f_cm, H_abs)
+                w_new = W.frame_weight_with_holes(new_px, W.frame_weight_eval(fw, hc, wc))
+                w_old = W.union_weight(canvas, union, hc, wc)
+                canvas, _ = W._blend_cm(canvas, w_old, new_px, w_new)
+                union = union | W.coarse_footprint(w_new)
+                return (canvas, union), None
+
+            (canvas, union), _ = jax.lax.scan(body, (canvas, union), (fcm, Hs, fwp))
+            return canvas
+
+        return stage
+
+    def warp_only(warp_fn):
+        def stage(x):
+            canvas, fcm, Hs = x
+
+            def body(c, xs):
+                f_cm, H_abs = xs
+                return c + 1e-6 * warp_fn(f_cm, H_abs), None
+
+            return jax.lax.scan(body, canvas, (fcm, Hs))[0]
+
+        return stage
+
+    def weights_only(x):
+        canvas, union, Hs = x
+        fwp = fwp_of(Hs)
+
+        def body(c, xs):
+            fw = xs
+            w_new = W.frame_weight_eval(fw, hc, wc)
+            w_old = W.union_weight(c, union, hc, wc)
+            return c + 1e-6 * (w_new + w_old)[None], None
+
+        return jax.lax.scan(body, canvas, fwp)[0]
+
+    def paint_batched(warp_fn):
+        """Round-4 structure: warp + weight construction batched over the
+        window (vmap), only the blend recurrence in the scan — mirrors the
+        production stitcher paint_scan."""
+
+        def stage(x):
+            canvas, union, fcm, Hs = x
+            fwp = fwp_of(Hs)
+            new_seq = jax.vmap(warp_fn)(fcm, Hs)
+            wq_seq = jax.vmap(lambda fw: W.frame_weight_eval(fw, hc, wc))(fwp)
+            wnew_seq = jax.vmap(W.frame_weight_with_holes)(new_seq, wq_seq)
+            foot_seq = jax.vmap(W.coarse_footprint)(wnew_seq)
+
+            def body(carry, xs):
+                canvas, union = carry
+                new_px, w_new, foot = xs
+                w_old = W.union_weight(canvas, union, hc, wc)
+                canvas, _ = W._blend_cm(canvas, w_old, new_px, w_new)
+                return (canvas, union | foot), None
+
+            (canvas, union), _ = jax.lax.scan(
+                body, (canvas, union), (new_seq, wnew_seq, foot_seq)
+            )
+            return canvas
+
+        return stage
+
+    def prescan_stage(x):
+        """The 3x3 compose/validate/smooth scan + regime checks alone."""
+        Hs = x
+
+        def body(carry, H_rel):
+            H_old, hbuf, hcount = carry
+            ok = GEO.validate_homography(H_rel, 50.0, 0.3, 1e-3)
+            H_v = jnp.where(ok, H_rel, GEO.EYE3)
+            hbuf2, hcount2, H_s = GEO.smooth_homography_step(hbuf, hcount, H_v, m._wtable)
+            H_abs = jnp.matmul(H_old, H_s, precision=jax.lax.Precision.HIGHEST)
+            tp = W.two_pass_regime_ok(H_abs, hc, wc)
+            pl = W.pallas_regime_ok(H_abs, hc, wc, hf, wf)
+            return (H_abs, hbuf2, hcount2), (H_abs, tp, pl)
+
+        hbuf0 = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (5, 1, 1))
+        (_, _, _), outs = jax.lax.scan(body, (Hs[0], hbuf0, jnp.int32(0)), Hs)
+        return outs
+
+    paint_x = (m.state.canvas, m.state.union_coarse, frames_cm0, H_seq)
+    timed("prescan(compose)", prescan_stage, H_seq, reps=2 * R)
+    timed("paint(two_pass)", paint_with(lambda f, h: W.warp_two_pass(f, h, hc, wc)),
+          paint_x, reps=R)
+    timed("warp(two_pass)", warp_only(lambda f, h: W.warp_two_pass(f, h, hc, wc)),
+          (m.state.canvas, frames_cm0, H_seq), reps=R)
+    timed("weights(frame+union)", weights_only,
+          (m.state.canvas, m.state.union_coarse, H_seq), reps=R)
+    if jax.default_backend() == "tpu":
+        from rtvm_tpu.ops.pallas_warp import warp_two_pass_pallas
+
+        timed("paint(pallas)", paint_with(lambda f, h: warp_two_pass_pallas(f, h, hc, wc)),
+              paint_x, reps=R)
+        timed("paint(batched-pallas)",
+              paint_batched(lambda f, h: warp_two_pass_pallas(f, h, hc, wc)),
+              paint_x, reps=R)
+        timed("warp(pallas)", warp_only(lambda f, h: warp_two_pass_pallas(f, h, hc, wc)),
+              (m.state.canvas, frames_cm0, H_seq), reps=R)
+
     body = S.make_step_body(m.frame_shape, cfg)
 
     def step_stage(x):
