@@ -329,9 +329,21 @@ def test_mosaic_scale_detection_quality():
     mAP50 0.989 / person 0.960 on 12 scenes (weights/mosaic_scale_eval.json);
     4 scenes keep the slow tier affordable, floors ratcheted just under the
     4-scene measurement."""
+    _mosaic_scale_gate("yolov8n")
+
+
+@pytest.mark.slow
+def test_mosaic_scale_detection_quality_yolo11n():
+    """The SERVING default (DetectConfig.model = yolo11n, reference main.py:44)
+    must clear the same mosaic-scale gate: measured mAP50 0.9889 / person
+    0.9604 over 12 scenes (weights/mosaic_scale_eval_yolo11n.json)."""
+    _mosaic_scale_gate("yolo11n")
+
+
+def _mosaic_scale_gate(model: str):
     import os
 
-    if not os.path.exists("weights/yolov8n_aerial.npz"):
+    if not os.path.exists(f"weights/{model}_aerial.npz"):
         pytest.skip("no trained checkpoint in this tree")
 
     import numpy as np
@@ -343,7 +355,7 @@ def test_mosaic_scale_detection_quality():
     rng = np.random.RandomState(313131)
     bg = BackgroundPool(1280, rng=rng)
     scenes = [make_scene(rng, bg, 1280, max_objects=24) for _ in range(4)]
-    det = ObjectDetector(model="yolov8n")
+    det = ObjectDetector(model=model)
     dets = [det.detect_objects(img) for img, _, _ in scenes]
     report = evaluate_map(dets, [b for _, b, _ in scenes], [c for _, _, c in scenes],
                           AERIAL_CLASSES)

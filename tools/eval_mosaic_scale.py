@@ -28,6 +28,7 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--size", type=int, default=1280)
     ap.add_argument("--seed", type=int, default=313131)
+    ap.add_argument("--model", default="yolov8n")
     ap.add_argument("--no-world", action="store_true",
                     help="closed-set detector only (skip the open-vocab head)")
     ap.add_argument("--out", default="weights/mosaic_scale_eval.json")
@@ -52,7 +53,7 @@ def main(argv=None):
         gtb.append(b)
         gtc.append(c)
 
-    det = ObjectDetector(model="yolov8n")
+    det = ObjectDetector(model=a.model)
     if a.no_world:
         det.model_world = None
 
@@ -66,6 +67,7 @@ def main(argv=None):
 
     report = evaluate_map(dets, gtb, gtc, AERIAL_CLASSES)
     out = {
+        "model": a.model,
         "n_scenes": a.n,
         "size": a.size,
         "world_head": det.model_world is not None,
