@@ -22,7 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 STAGES = [
     # (PROFILE_STAGES selector, reps arg)
-    ("full step", "3"),
+    ("full step", "2"),  # 3 reps -> ~330 ms dispatch trips the ~300 ms governor latch
     ("features(all)", "3"),
     ("yolov8n", "3"),
     ("pyramid", "3"),
