@@ -64,14 +64,17 @@ BASELINE_FPS = 12.5
 # governor's ~0.7 s full-speed budget — UPDATE IT when the kernels speed up,
 # a burst sized well under the budget pays a larger RTT fraction.
 CONFIGS = {
-    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None, est_fps=300),
-    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, est_fps=170),
+    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None, est_fps=350),
+    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, est_fps=220),
     "3": dict(name="360p_sift_stitch_yolov8n", detector="sift", det="yolov8n", res=None,
-              est_fps=160),
+              est_fps=200),
     "5": dict(name="1080p_stream_yolov8s", detector="orb", det=None, res=(1920, 1080)),
 }
 
-BUDGET_S = 0.55  # device-time budget one burst dispatch aims to fill
+BUDGET_S = 0.22  # device-time budget one burst dispatch aims to fill.
+# Rehearsal finding (round 4): the governor latches on single dispatches past
+# ~300 ms AND a 120 s warm idle refills only ~0.3 s of full-speed budget, so
+# bursts must fit BOTH bounds; 0.22 s keeps the dispatch ~150-250 ms.
 
 # Conservative wall-cost estimates per probe (subprocess start + imports +
 # frame decode + AOT compile + dispatches), used only for skip/idle decisions.
@@ -128,6 +131,10 @@ def device_probe():
         "BENCH_BURST", str(max(2, int(BUDGET_S * c["est_fps"] / window)))
     ))
     max_frames = int(os.environ.get("BENCH_FRAMES", "600"))
+    # burst + this many extra dispatches; the governor-throttled sustained rate
+    # is fully characterized after 2 dispatches, and a whole-clip sustained
+    # section drains ~20 s of device time that poisons the NEXT config's burst
+    sustain_disp = int(os.environ.get("BENCH_SUSTAIN_DISP", "2"))
 
     frames = _load_frames(max_frames, c["res"])
     f0, rest = frames[0], frames[1:]
@@ -169,7 +176,7 @@ def device_probe():
 
     ts = []
     outs = []
-    for dc in dchunks:
+    for dc in dchunks[: 1 + sustain_disp]:
         t0 = time.perf_counter()
         out = compiled(st, dc, *args)  # (state, aux[, detections])
         st, aux = out[0], out[1]
@@ -218,7 +225,7 @@ def stream_probe():
 
     window = int(os.environ.get("BENCH_WINDOW", "16"))
     n_windows = max(2, int(os.environ.get("BENCH_WINDOWS", "6")))
-    burst_w = int(os.environ.get("BENCH_BURST", "2"))  # windows per dispatch
+    burst_w = int(os.environ.get("BENCH_BURST", "1"))  # windows per dispatch (1080p: 16 frames ~ 200 ms)
     frames = _load_frames(1 + window * n_windows, (1920, 1080))
     f0, rest = frames[0], frames[1:]
 
@@ -357,7 +364,7 @@ def nav_probe():
 
     t0 = time.perf_counter()
     scaled = scale_to_screen(crop_black_areas(mosaic.output_img_u8, threshold=80, margin=30))
-    det = ObjectDetector(model="yolov8n")
+    det = ObjectDetector(model="yolo11n")  # serving default (reference main.py:44)
     dets = det.detect_objects(scaled)
     detect_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -550,8 +557,8 @@ def main():
     # probe gaps; the device sits idle while it warms up, which refills the
     # governor bucket ahead of the headline probe.
     psnr = _PsnrCollector(
-        int(os.environ.get("BENCH_PSNR_FRAMES", "600")),
-        int(os.environ.get("BENCH_PSNR_SIFT_FRAMES", "192")),
+        int(os.environ.get("BENCH_PSNR_FRAMES", "448")),
+        int(os.environ.get("BENCH_PSNR_SIFT_FRAMES", "128")),
     )
 
     tries = int(os.environ.get("BENCH_TRIES", "1"))

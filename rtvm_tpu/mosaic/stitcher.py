@@ -256,7 +256,12 @@ def make_step_body(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
                 # recurrence (w_old depends on the running canvas) stays
                 # sequential — exactly the reference's frame-by-frame
                 # semantics (main.py:884-905).
-                new_seq = jax.vmap(warp_fn)(frames_cm, H_abs_seq)
+                # lax.map (not vmap): vmapping the Pallas warp multiplies its
+                # scoped-VMEM stack by B and OOMs at 1080p canvases; the warp
+                # is ~0.2 ms/frame — the batching win is in the weight chain.
+                new_seq = jax.lax.map(
+                    lambda xs: warp_fn(xs[0], xs[1]), (frames_cm, H_abs_seq)
+                )
                 wq_seq = jax.vmap(
                     lambda fw: warp_ops.frame_weight_eval(fw, hc, wc)
                 )(fw_params)
