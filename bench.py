@@ -7,12 +7,15 @@ parses the LAST line, so a mid-run kill still leaves a valid, partial record on
 stdout), and the final snapshot from a SIGTERM handler / normal exit:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "configs": {...}}
 
-Deadline contract (round-4 fix for the r03 rc=124 empty-tail loss): the whole
-run fits inside BENCH_DEADLINE_S (default 1140 s) tracked from main() entry.
-Probes that no longer fit the remaining budget are skipped and recorded as
-{"skipped": "deadline"}; inter-config idle shrinks with the remaining slack;
-every probe subprocess gets a timeout capped to the remaining budget; probes
-run ONCE by default (BENCH_TRIES to raise).
+Deadline contract (round-4 fix for the r03 rc=124 empty-tail loss): an
+aggregate snapshot prints after EVERY config, so a driver kill at ANY point
+keeps all completed rows (the r03 loss came from printing only at the very
+end). BENCH_DEADLINE_S (default 1900 s) is therefore a backstop, not the
+survival mechanism: the headline configs (3, 1, 2) land in the first ~700 s,
+and 5/4 run opportunistically after. Probes that no longer fit the remaining
+budget are skipped and recorded as {"skipped": "deadline"}; inter-config idle
+shrinks with the remaining slack; every probe subprocess gets a timeout capped
+to the remaining budget; probes run ONCE by default (BENCH_TRIES to raise).
 
 Measurement protocol — shaped by the axon tunnel's token-bucket duty governor,
 fully characterized in tools/tunnel_probe*.py and NOTES_ROUND3.md:
@@ -492,7 +495,7 @@ class _PsnrCollector:
 
 def main():
     t_start = time.time()
-    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "1140"))
+    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_S", "1900"))
 
     def remaining():
         return deadline - time.time()
@@ -556,9 +559,13 @@ def main():
     # Full-clip PSNR on the CPU backend, in the background: overlaps the
     # probe gaps; the device sits idle while it warms up, which refills the
     # governor bucket ahead of the headline probe.
+    # Frame counts sized to FINISH on the 1-core host inside the run (the r04
+    # rehearsal's 448-frame ORB pass never completed in 1130 s): the CPU-backend
+    # pipeline pass costs ~2.5 s/frame alongside the probes; the slow-tier
+    # quality gates cover the same protocol at 96 frames.
     psnr = _PsnrCollector(
-        int(os.environ.get("BENCH_PSNR_FRAMES", "448")),
-        int(os.environ.get("BENCH_PSNR_SIFT_FRAMES", "128")),
+        int(os.environ.get("BENCH_PSNR_FRAMES", "192")),
+        int(os.environ.get("BENCH_PSNR_SIFT_FRAMES", "96")),
     )
 
     tries = int(os.environ.get("BENCH_TRIES", "1"))

@@ -206,7 +206,15 @@ def main(R=4, detector="sift"):
                 base = gauss[s][::2, ::2]
         return outs
 
+    def ingest_stage(fr):
+        """uint8 window -> (channel-major f32 frames, grays): the step's input
+        conversion + lane-crossing transpose, absent from every other stage."""
+        u8 = fr.astype(jnp.uint8)
+        cm = jnp.moveaxis(u8.astype(jnp.float32), -1, 1)
+        return cm, jax.vmap(color.bgr2gray)(u8)
+
     timed("gray", lambda fr: jax.vmap(color.bgr2gray)(fr), dwin.astype(jnp.float32), reps=3 * R)
+    timed("ingest(u8->cm+gray)", ingest_stage, dwin.astype(jnp.float32), reps=2 * R)
     timed("pyramid", lambda g: jax.vmap(pyramid_one)(g), grays, reps=2 * R)
     timed("pyr+extrema", lambda g: jax.vmap(extrema_one)(g), grays, reps=R)
     timed("pyr+ext+hessian", lambda g: jax.vmap(hessian_one)(g), grays, reps=R)
