@@ -32,6 +32,36 @@ def _smooth_noise(rng, h, w, scale: int, amp: float) -> np.ndarray:
     return amp * ((1 - fy) * ((1 - fx) * a + fx * b) + fy * ((1 - fx) * c + fx * d))
 
 
+def _cast_shadows(height: np.ndarray, lx: float, ly: float, lz: float,
+                  scale: float = 60.0) -> np.ndarray:
+    """Binary cast-shadow mask for a heightfield lit by a distant sun.
+
+    A pixel is shadowed when marching toward the sun (image-plane direction
+    (lx, ly) normalized, climbing lz per horizontal unit) hits a higher
+    surface. This is the cue that makes ABSOLUTE structure height observable
+    from a top-down image: Lambertian shading encodes only surface slope (and
+    saturates at building walls), so without shadows two buildings of height
+    0.15 and 0.5 render identically and no depth model can tell them apart
+    (round-3 DepthNet plateaued at abs_rel 0.374 for exactly this reason).
+    `scale` matches the shading exaggeration so shadow lengths are consistent
+    with the shaded normals.
+    """
+    hgt, wid = height.shape
+    hz = height * scale
+    hn = float(np.hypot(lx, ly)) + 1e-9
+    dx, dy = lx / hn, ly / hn
+    rise = lz / hn  # height (in hz units) gained per pixel toward the sun
+    ys, xs = np.mgrid[0:hgt, 0:wid]
+    shadow = np.zeros_like(height, dtype=bool)
+    # near steps every px, far steps strided: max occluder height ~0.7*scale=42
+    # over min rise ~0.55 -> ~76 px reach
+    for t in list(range(1, 13)) + list(range(14, 80, 4)):
+        sy = np.clip(np.round(ys + dy * t).astype(np.int32), 0, hgt - 1)
+        sx = np.clip(np.round(xs + dx * t).astype(np.int32), 0, wid - 1)
+        shadow |= hz[sy, sx] > hz + rise * t + 0.75
+    return shadow
+
+
 def make_depth_scene(rng: np.random.RandomState, h: int = 240, w: int = 320):
     """One scene -> (image [H, W, 3] float 0..1, nearness [H, W] float 0..1).
 
@@ -81,7 +111,19 @@ def make_depth_scene(rng: np.random.RandomState, h: int = 240, w: int = 320):
     norm = np.sqrt(gx**2 + gy**2 + 1.0)
     shade = np.clip((-gx * lx - gy * ly + lz) / norm, 0.15, 1.0)
 
-    img = np.clip(albedo * shade[..., None], 0.0, 1.0)
+    # cast shadows: the only image cue for ABSOLUTE height (see _cast_shadows)
+    shadow = _cast_shadows(height, lx, ly, lz)
+    ambient = 0.30 + 0.15 * rng.rand()
+    light = shade * np.where(shadow, ambient, 1.0)
+    # 3x3 box soften so shadow edges aren't aliased single-pixel steps
+    pad = np.pad(light, 1, mode="edge")
+    light = sum(
+        pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ) / 9.0
+
+    img = np.clip(albedo * light[..., None], 0.0, 1.0)
     img += rng.randn(h, w, 3).astype(np.float32) * 0.015  # sensor noise
     img = np.clip(img, 0.0, 1.0).astype(np.float32)
 

@@ -35,13 +35,20 @@ class DepthNet(nn.Module):
         e2 = _Block(b * 2, 2)(e1)
         e3 = _Block(b * 4, 2)(e2)
         e4 = _Block(b * 8, 2)(e3)
-        m = _Block(b * 8)(e4)
+        e5 = _Block(b * 8, 2)(e4)  # /16: terrain height is low-frequency
+        m = _Block(b * 8)(e5)
+        # Global scene context: affine-relative depth needs a whole-image
+        # reference (which surface is "ground"); a mean-pooled feature
+        # broadcast supplies it without attention-sized cost.
+        g = jnp.mean(m, axis=(1, 2), keepdims=True)
+        m = m + nn.silu(nn.Dense(b * 8)(g))
 
         def up(z, ref):
             bt, h, w, _ = ref.shape
             return jax.image.resize(z, (z.shape[0], h, w, z.shape[-1]), "bilinear")
 
-        d3 = _Block(b * 4)(jnp.concatenate([up(m, e3), e3], -1))
+        d4 = _Block(b * 8)(jnp.concatenate([up(m, e4), e4], -1))
+        d3 = _Block(b * 4)(jnp.concatenate([up(d4, e3), e3], -1))
         d2 = _Block(b * 2)(jnp.concatenate([up(d3, e2), e2], -1))
         d1 = _Block(b)(jnp.concatenate([up(d2, e1), e1], -1))
         out = nn.Conv(1, (3, 3))(d1)

@@ -5,9 +5,9 @@ that are stripped from this snapshot; this driver gives the in-repo Flax
 DepthNet real signal so the depth->cloud->mesh pipelines produce meaningful
 geometry instead of heuristic-fallback output (round-1 VERDICT weak item 8).
 
-Loss: scale-invariant log depth (Eigen) + horizontal/vertical gradient
-matching (sharp building edges). Writes weights/depthnet.npz which
-depth3d.estimator picks up automatically.
+Loss: absolute MSE on normalized nearness + multi-scale gradient matching
+(sharp building edges at full res, terrain trends at 1/2 and 1/4). Writes
+weights/depthnet.npz which depth3d.estimator picks up automatically.
 
 Usage:
     python -m rtvm_tpu.models.train_depth --steps 3000 --batch 8
@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--out-dir", default="weights")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init", default=None,
+                    help="warm-start params from an existing depthnet .npz")
     a = ap.parse_args(argv)
 
     import jax
@@ -45,18 +47,38 @@ def main(argv=None):
     h, w = a.size
     model, variables = build_depthnet(seed=a.seed, example_hw=(h, w))
     params = variables["params"]
+    if a.init:
+        from rtvm_tpu.utils.checkpoint import load_pytree_npz
+
+        params = load_pytree_npz(a.init, {"params": params})["params"]
     tx = optax.adamw(optax.cosine_decay_schedule(a.lr, a.steps, 0.05), weight_decay=1e-5)
     opt_state = tx.init(params)
 
     def loss_fn(params, imgs, near):
+        """Absolute MSE + multi-scale gradient matching.
+
+        The ground truth is absolute normalized nearness in [0,1] (the synth
+        generator renders cast shadows, so absolute structure height IS
+        observable — depth_synth._cast_shadows), so the loss anchors the raw
+        prediction instead of a scale/shift-aligned one. A sign-free affine-
+        invariant loss here let the net converge to INVERTED depth (round-4
+        finding: pearson -0.79), which breaks downstream unprojection."""
         pred = model.apply({"params": params}, imgs)[..., 0]  # [B, H, W] in (0,1)
-        eps = 1e-3
-        d = jnp.log(pred + eps) - jnp.log(near + eps)
-        # scale-invariant term (Eigen 2014, lambda=0.5)
-        si = jnp.mean(d**2, axis=(1, 2)) - 0.5 * jnp.mean(d, axis=(1, 2)) ** 2
-        gx = jnp.abs(jnp.diff(pred, axis=2) - jnp.diff(near, axis=2))
-        gy = jnp.abs(jnp.diff(pred, axis=1) - jnp.diff(near, axis=1))
-        return jnp.mean(si) + jnp.mean(gx) + jnp.mean(gy)
+        mse = jnp.mean((pred - near) ** 2)
+        # relative L1 — the eval metric family (abs_rel divides by
+        # max(t, 0.05), so near-ground precision is weighted 10-20x; plain
+        # MSE underweights exactly where the metric is hardest)
+        rel = jnp.mean(jnp.abs(pred - near) / jnp.maximum(near, 0.05))
+
+        def grad_l1(p, t):
+            gx = jnp.abs(jnp.diff(p, axis=2) - jnp.diff(t, axis=2))
+            gy = jnp.abs(jnp.diff(p, axis=1) - jnp.diff(t, axis=1))
+            return jnp.mean(gx) + jnp.mean(gy)
+
+        # multi-scale gradients (1/1, 1/2, 1/4) — sharp roof edges AND smooth
+        # terrain trends both constrain the prediction
+        g = sum(grad_l1(pred[:, ::k, ::k], near[:, ::k, ::k]) for k in (1, 2, 4))
+        return 5.0 * mse + rel + g
 
     @jax.jit
     def step(params, opt_state, imgs, near):
@@ -79,17 +101,46 @@ def main(argv=None):
             rhos.append(np.corrcoef(p, t)[0, 1])
         return float(np.mean(errs)), float(np.mean(rhos))
 
-    # Host-side scene synthesis is ~1.5 s/batch — 30x the device step — so the
-    # loader is a multiprocess prefetch pool (the data-loader role SURVEY
-    # assigns to the runtime layer): workers draw from independent seed streams,
-    # results are consumed in completion order (batch order is irrelevant for
-    # i.i.d. synthetic data).
+    # Host-side scene synthesis is ~1.5-2 s/batch on this 1-core box — far
+    # slower than the device step — so the loader is a RECYCLING pool (the
+    # data-loader role SURVEY assigns to the runtime layer): background
+    # workers keep producing fresh batches from independent seed streams, and
+    # the train loop consumes whatever is ready, re-sampling from the last
+    # `pool_cap` batches when generation lags. i.i.d. synthetic data tolerates
+    # reuse; this keeps the tunneled-TPU step the pacing item instead of the
+    # host (round-4: blocking on fresh data ran 0.6 it/s; recycled ~2 it/s).
     import multiprocessing as mp
 
     workers = min(8, mp.cpu_count() or 1)
     pool = mp.get_context("spawn").Pool(workers, initializer=_init_worker, initargs=(h, w, a.batch))
     pending = [pool.apply_async(_gen_batch, (a.seed + 1 + i,)) for i in range(2 * workers)]
     next_seed = a.seed + 1 + len(pending)
+    recycled = []  # most recent ready batches, recycled when generation lags
+    pool_cap = 64
+    draw_rng = np.random.RandomState(a.seed + 991)
+
+    def next_batch():
+        nonlocal next_seed
+        # drain every finished async first (each refills its worker slot)
+        fresh = None
+        for job in list(pending):
+            if job.ready():
+                pending.remove(job)
+                fresh = job.get()
+                recycled.append(fresh)
+                pending.append(pool.apply_async(_gen_batch, (next_seed,)))
+                next_seed += 1
+        if len(recycled) > pool_cap:
+            del recycled[: len(recycled) - pool_cap]
+        if fresh is not None:
+            return fresh
+        if recycled:
+            return recycled[draw_rng.randint(len(recycled))]
+        out = pending.pop(0).get()  # cold start: block for the first batch
+        recycled.append(out)
+        pending.append(pool.apply_async(_gen_batch, (next_seed,)))
+        next_seed += 1
+        return out
 
     os.makedirs(a.out_dir, exist_ok=True)
     out = os.path.join(a.out_dir, "depthnet.npz")
@@ -104,9 +155,7 @@ def main(argv=None):
     t0 = time.time()
     try:
         for i in range(1, a.steps + 1):
-            imgs, near = pending.pop(0).get()
-            pending.append(pool.apply_async(_gen_batch, (next_seed,)))
-            next_seed += 1
+            imgs, near = next_batch()
             params, opt_state, loss = step(params, opt_state, jnp.asarray(imgs), jnp.asarray(near))
             if i % 50 == 0:
                 el = time.time() - t0
