@@ -12,10 +12,13 @@ Mosaic requires dynamic load offsets to be provably aligned (sublanes: 8,
 lanes: 128), so each patch is cut as:
   1. an ALIGNED [patch+8, patch+128] load at (8*floor(y/8), 128*floor(x/128))
      — `pl.multiple_of` carries the proof;
-  2. row-phase select: 8-way where-chain over static sublane slices;
-  3. lane shift by (x mod 128): log2 decomposition into 7 static
-     `pltpu.roll`s gated by the shift's bits (a dynamic lane rotate without
-     relying on dynamic-shift support), then a static [:, :patch] slice.
+  2. row phase (y mod 8): ONE dynamic sublane `pltpu.roll` (the hardware
+     rotate takes a traced shift), then a static [:patch] slice;
+  3. lane phase (x mod 128): ONE dynamic lane `pltpu.roll`, then a static
+     [:, :patch] slice.
+Set RTVM_PALLAS_DYNROLL=0 to fall back to the round-3 static decomposition
+(8-way row-phase where-chain + 7 bit-gated static rolls — ~22 vector ops per
+patch vs 2 rotates).
 
 Used by the SIFT descriptor path on real TPU (sift.detect_and_describe tiers
 on backend, like mosaic.stitcher._use_pallas_warp); the XLA interleave path
@@ -39,8 +42,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(patch: int):
+def _dynroll_enabled() -> bool:
+    import os
+
+    return os.environ.get("RTVM_PALLAS_DYNROLL", "1") != "0"
+
+
+def _make_kernel(patch: int, dynroll: bool):
     lw = patch + 128  # aligned lane extent per load
+    ns = patch + 8  # aligned sublane extent per load
 
     def kernel(ys_ref, xs_ref, img_ref, out_ref):
         q0 = pl.program_id(0) * QB
@@ -50,21 +60,25 @@ def _make_kernel(patch: int):
             x = xs_ref[q0 + i]
             y8 = pl.multiple_of((y // 8) * 8, 8)
             x128 = pl.multiple_of((x // 128) * 128, 128)
-            blk = img_ref[pl.ds(y8, patch + 8), pl.ds(x128, lw)]
-            # row phase: 8-way select over static sublane slices
-            pr = y - y8
-            rows = blk[:patch]
-            for p in range(1, 8):
-                rows = jnp.where(pr == p, blk[p : p + patch], rows)
-            # lane phase: shift left by sh = x - x128 in [0, 128) via static
-            # rolls gated by sh's bits; lanes 0..patch-1 never see wrap-around
-            # (patch + 127 <= lw)
-            sh = x - x128
-            cur = rows
-            for b in (64, 32, 16, 8, 4, 2, 1):
-                cur = jnp.where(
-                    (sh & b) != 0, pltpu.roll(cur, shift=lw - b, axis=1), cur
-                )
+            blk = img_ref[pl.ds(y8, ns), pl.ds(x128, lw)]
+            pr = y - y8  # row phase in [0, 8)
+            sh = x - x128  # lane phase in [0, 128)
+            if dynroll:
+                # out[r] = blk[r + pr]: rotate UP by pr == rotate down by
+                # (ns - pr) % ns; r + pr <= patch-1+7 < ns so no wraparound
+                # enters the kept [:patch] slice. Same for lanes.
+                rows = pltpu.roll(blk, shift=(ns - pr) % ns, axis=0)[:patch]
+                cur = pltpu.roll(rows, shift=(lw - sh) % lw, axis=1)
+            else:
+                # static fallback: 8-way row select + 7 bit-gated lane rolls
+                rows = blk[:patch]
+                for p in range(1, 8):
+                    rows = jnp.where(pr == p, blk[p : p + patch], rows)
+                cur = rows
+                for b in (64, 32, 16, 8, 4, 2, 1):
+                    cur = jnp.where(
+                        (sh & b) != 0, pltpu.roll(cur, shift=lw - b, axis=1), cur
+                    )
             out_ref[i] = cur[:, :patch]
             return 0
 
@@ -73,13 +87,14 @@ def _make_kernel(patch: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "interpret"))
-def extract_patches_pallas(
+@functools.partial(jax.jit, static_argnames=("patch", "interpret", "dynroll"))
+def _extract_patches_impl(
     stacked: jnp.ndarray,
     ys: jnp.ndarray,
     xs: jnp.ndarray,
-    patch: int = 32,
-    interpret: bool = False,
+    patch: int,
+    interpret: bool,
+    dynroll: bool,
 ) -> jnp.ndarray:
     """stacked [R, W] f32 (levels stacked vertically), ys/xs [Q] int32 patch
     origins (pre-clipped: ys <= R - patch, xs <= W - patch) -> [Q, patch, patch].
@@ -106,9 +121,25 @@ def extract_patches_pallas(
         ),
     )
     out = pl.pallas_call(
-        _make_kernel(patch),
+        _make_kernel(patch, dynroll),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((qp, patch, patch), stacked.dtype),
         interpret=interpret,
     )(ysp, xsp, img)
     return out[:q]
+
+
+def extract_patches_pallas(
+    stacked: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    patch: int = 32,
+    interpret: bool = False,
+    dynroll: bool | None = None,
+) -> jnp.ndarray:
+    """stacked [R, W] float (levels stacked vertically), ys/xs [Q] int32 patch
+    origins (pre-clipped: ys <= R - patch, xs <= W - patch) -> [Q, patch, patch].
+    dynroll=None reads RTVM_PALLAS_DYNROLL (default on)."""
+    if dynroll is None:
+        dynroll = _dynroll_enabled()
+    return _extract_patches_impl(stacked, ys, xs, patch, interpret, dynroll)

@@ -82,9 +82,12 @@ def test_pallas_regime_rejects_large_rotation():
     # gather fallback remains the exact catch-all.
 
 
-def test_pallas_patches_match_xla_extractor():
+@pytest.mark.parametrize("dynroll", [True, False])
+def test_pallas_patches_match_xla_extractor(dynroll):
     """The Pallas VMEM patch extractor (interpret mode) must cut byte-identical
-    patches to the XLA interleave path (both are pure integer-aligned copies)."""
+    patches to the XLA interleave path (both are pure integer-aligned copies) —
+    both the dynamic-rotate kernel (round 4) and the static bit-gated-roll
+    fallback."""
     from rtvm_tpu.ops.features import sift as SF
     from rtvm_tpu.ops.pallas_patches import extract_patches_pallas
 
@@ -102,7 +105,7 @@ def test_pallas_patches_match_xla_extractor():
     out = np.asarray(
         extract_patches_pallas(
             jnp.asarray(g.reshape(s * h, w)), jnp.asarray(ys), jnp.asarray(xs),
-            SF.PATCH, interpret=True,
+            SF.PATCH, interpret=True, dynroll=dynroll,
         )
     )
     np.testing.assert_array_equal(out, ref)
