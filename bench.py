@@ -81,7 +81,7 @@ BUDGET_S = 0.22  # device-time budget one burst dispatch aims to fill.
 
 # Conservative wall-cost estimates per probe (subprocess start + imports +
 # frame decode + AOT compile + dispatches), used only for skip/idle decisions.
-PROBE_COST_S = {"1": 180, "2": 200, "3": 280, "4": 360, "5": 300}
+PROBE_COST_S = {"1": 180, "2": 200, "3": 280, "4": 360, "5": 420}
 PROBE_TIMEOUT_S = {"1": 600, "2": 600, "3": 700, "4": 900, "5": 700}
 
 
@@ -226,9 +226,16 @@ def stream_probe():
     from rtvm_tpu.mosaic.prescan import prescan_canvas
     from rtvm_tpu.mosaic.stitcher import VideMosaic, make_clip_step
 
+    t_probe = time.time()
+    probe_deadline = t_probe + float(os.environ.get("BENCH_PROBE_DEADLINE_S", "1e9"))
     window = int(os.environ.get("BENCH_WINDOW", "16"))
     n_windows = max(2, int(os.environ.get("BENCH_WINDOWS", "6")))
     burst_w = int(os.environ.get("BENCH_BURST", "1"))  # windows per dispatch (1080p: 16 frames ~ 200 ms)
+    # burst + this many governor-throttled repeats — the r04 rehearsal probe
+    # timed out dispatching the WHOLE clip at ~10% duty (each post-burst 1080p
+    # dispatch stretches ~10x); 2 repeats fully characterize sustained, same
+    # as device_probe
+    sustain_disp = int(os.environ.get("BENCH_SUSTAIN_DISP", "2"))
     frames = _load_frames(1 + window * n_windows, (1920, 1080))
     f0, rest = frames[0], frames[1:]
 
@@ -263,13 +270,15 @@ def stream_probe():
     compiled = clip.lower(st, dchunks[0], *args).compile()
 
     ts = []
-    for dc in dchunks:
+    for dc in dchunks[: 1 + sustain_disp]:
         t0 = time.perf_counter()
         out = compiled(st, dc, *args)
         st = out[0]
         jax.block_until_ready(st.canvas)
         ts.append(time.perf_counter() - t0)
-    n = n_disp * burst_w * window
+        if time.time() > probe_deadline:
+            break
+    n = len(ts) * burst_w * window
     print(json.dumps({
         "config": "5",
         "name": f"1080p_stream_{det_model}_fused",
@@ -278,7 +287,8 @@ def stream_probe():
         "burst_fps": round(burst_w * window / ts[0], 2),
         "sustained_fps": round(n / float(np.sum(ts)), 2),
         "dispatch_ms": [round(t * 1e3) for t in ts[:8]],
-        "fused_dispatches": n_disp,
+        "fused_dispatches": len(ts),
+        "fused_dispatches_planned": n_disp,
         "prescan_canvas": list(pre[0]),
         "detector_ckpt": det.weights_source,
     }), flush=True)
@@ -570,7 +580,9 @@ def main():
 
     tries = int(os.environ.get("BENCH_TRIES", "1"))
     idle_cap = int(os.environ.get("BENCH_IDLE_S", "90"))
-    which = [c.strip() for c in os.environ.get("BENCH_CONFIGS", "3,1,2,5,4").split(",")]
+    # 4 before 5: config 4 completes reliably (~360 s) while 5's 1080p probe
+    # is the longest and riskiest — a 5-overrun must not skip 4 (r04 rehearsal)
+    which = [c.strip() for c in os.environ.get("BENCH_CONFIGS", "3,1,2,4,5").split(",")]
 
     # Warm idle before the headline probe, only as slack allows.
     planned = sum(PROBE_COST_S.get(c, 300) for c in which)
