@@ -270,20 +270,54 @@ def make_step_body(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
                 wnew_seq = jnp.where(blended_seq[:, None, None], wnew_seq, 0.0)
                 foot_seq = jax.vmap(warp_ops.coarse_footprint)(wnew_seq)
 
-                def body(carry, xs):
-                    canvas, union = carry
-                    new_px, w_new, foot = xs
-                    # reference blend semantics: weights = distance transforms
-                    # of the new frame mask and the current mosaic mask
-                    w_old = warp_ops.union_weight(canvas, union, hc, wc)
-                    canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
-                    union = union | foot
-                    return (canvas, union), None
-
-                (canvas, union), _ = jax.lax.scan(
-                    body, (canvas0, union0), (new_seq, wnew_seq, foot_seq)
+                # reference blend semantics: weights = distance transforms of
+                # the new frame mask and the current mosaic mask. The mosaic
+                # mask before frame i is union0 OR the first i footprints — a
+                # cumulative OR — so the union-distance transforms (the last
+                # serial cost in the blend scan) batch out here, leaving the
+                # scan body pure elementwise blending. Same math, same values,
+                # same order as the in-scan form.
+                inc = jax.lax.associative_scan(jnp.logical_or, foot_seq, axis=0)
+                unions_before = jnp.concatenate(
+                    [union0[None], union0[None] | inc[:-1]], axis=0
                 )
-                return canvas, union
+                # coarse_union_distance's column combine is [Gh, Gh, Gw] per
+                # frame; chunk the batch so the transient stays bounded even
+                # if XLA materializes it (1080p coarse grids are ~500^2 cells)
+                gh, gw = union0.shape
+                bs = max(1, min(b, (256 << 20) // max(gh * gh * gw * 4, 1)))
+                ups = jax.lax.map(
+                    lambda u: warp_ops.upsample_weight(
+                        warp_ops.coarse_union_distance(u), hc, wc
+                    ),
+                    unions_before,
+                    batch_size=bs,
+                )
+                # canvas coverage before frame i: painted pixels are exactly
+                # w_new > 0 (frame_weight_with_holes zeroes holes), so the
+                # cover gate is the same cumulative-OR shape as the union
+                cover0 = jnp.max(canvas0, axis=0) > 0.0
+                incc = jax.lax.associative_scan(
+                    jnp.logical_or, wnew_seq > 0.0, axis=0
+                )
+                covers_before = jnp.concatenate(
+                    [cover0[None], cover0[None] | incc[:-1]], axis=0
+                )
+                wold_seq = jnp.where(
+                    covers_before,
+                    jnp.maximum(ups - warp_ops.CELL_PX / 2.0, 1.0),
+                    0.0,
+                )
+
+                def body(canvas, xs):
+                    new_px, w_new, w_old = xs
+                    canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
+                    return canvas, None
+
+                canvas, _ = jax.lax.scan(
+                    body, canvas0, (new_seq, wnew_seq, wold_seq)
+                )
+                return canvas, union0 | inc[-1]
 
             return run
 
