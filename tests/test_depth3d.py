@@ -178,14 +178,15 @@ def test_trained_depthnet_quality():
     imgs, near = make_depth_batch(np.random.RandomState(123456), 4, 240, 320)
     pred = np.asarray(model.apply(variables, jnp.asarray(imgs))[..., 0])
     rhos = [np.corrcoef(pred[i].ravel(), near[i].ravel())[0, 1] for i in range(4)]
-    # Ratchet (round 4): cast-shadow synth data + /16 encoder stage measured
-    # mean rho 0.915 / abs_rel 0.343 on this seed (held-out eval: 0.857/0.380).
-    assert float(np.mean(rhos)) > 0.85, rhos
+    # Ratchet (round 4b): training the eval metric itself (clamped-positive
+    # affine-aligned weighted abs-rel term in the loss) measured mean rho
+    # 0.940 / abs_rel 0.319 on this seed (held-out eval: 0.870/0.365).
+    assert float(np.mean(rhos)) > 0.90, rhos
     errs = [
         float(np.mean(np.abs(pred[i] - near[i]) / np.maximum(near[i], 0.05)))
         for i in range(4)
     ]
-    assert float(np.mean(errs)) < 0.45, errs
+    assert float(np.mean(errs)) < 0.38, errs
 
 
 def test_depth_estimator_fallback_ordering(monkeypatch):
