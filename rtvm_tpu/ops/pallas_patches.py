@@ -10,12 +10,17 @@ XLA slice dispatches.
 
 Mosaic requires dynamic load offsets to be provably aligned (sublanes: 8,
 lanes: 128), so each patch is cut as:
-  1. an ALIGNED [patch+8, patch+128] load at (8*floor(y/8), 128*floor(x/128))
-     — `pl.multiple_of` carries the proof;
+  1. an ALIGNED [patch+8, roundup(patch+128, 128)] load at
+     (8*floor(y/8), 128*floor(x/128)) — `pl.multiple_of` carries the proof;
   2. row phase (y mod 8): ONE dynamic sublane `pltpu.roll` (the hardware
      rotate takes a traced shift), then a static [:patch] slice;
   3. lane phase (x mod 128): ONE dynamic lane `pltpu.roll`, then a static
      [:, :patch] slice.
+The lane extent MUST be a multiple of 128: Mosaic's dynamic lane rotate on a
+partially-padded vreg row (e.g. 160 = 1.25 vregs) hits an internal layout
+error on chip ("tpu.dynamic_rotate ... vector<32x160xf32>", jax 0.8 era);
+rotates on full-vreg widths (128/256) compile and are exact (probed on v5e,
+round 4).
 Set RTVM_PALLAS_DYNROLL=0 to fall back to the round-3 static decomposition
 (8-way row-phase where-chain + 7 bit-gated static rolls — ~22 vector ops per
 patch vs 2 rotates).
@@ -49,7 +54,8 @@ def _dynroll_enabled() -> bool:
 
 
 def _make_kernel(patch: int, dynroll: bool):
-    lw = patch + 128  # aligned lane extent per load
+    # aligned lane extent per load; full-vreg multiple (see module docstring)
+    lw = _round_up(patch + 128, 128)
     ns = patch + 8  # aligned sublane extent per load
 
     def kernel(ys_ref, xs_ref, img_ref, out_ref):
@@ -102,9 +108,10 @@ def _extract_patches_impl(
     r, w = stacked.shape
     q = ys.shape[0]
     qp = _round_up(max(q, QB), QB)
-    # slack for the aligned loads: rows up to 8*floor(y/8)+patch+8, lanes up to
-    # 128*floor(x/128)+patch+128
-    wp = _round_up(w + 128, 128)
+    # slack for the aligned loads: rows up to 8*floor(y/8)+patch+8, lanes up
+    # to 128*floor(x/128) + roundup(patch+128, 128)
+    lw = _round_up(patch + 128, 128)
+    wp = _round_up(w, 128) + lw
     rp = _round_up(r + 8, 8)
     img = jnp.pad(stacked, ((0, rp - r), (0, wp - w)))
     ysp = jnp.pad(ys.astype(jnp.int32), (0, qp - q))
