@@ -67,10 +67,10 @@ BASELINE_FPS = 12.5
 # governor's ~0.7 s full-speed budget — UPDATE IT when the kernels speed up,
 # a burst sized well under the budget pays a larger RTT fraction.
 CONFIGS = {
-    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None, est_fps=350),
-    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, est_fps=220),
+    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None, est_fps=400),
+    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, est_fps=330),
     "3": dict(name="360p_sift_stitch_yolov8n", detector="sift", det="yolov8n", res=None,
-              est_fps=200),
+              est_fps=290),
     "5": dict(name="1080p_stream_yolov8s", detector="orb", det=None, res=(1920, 1080)),
 }
 

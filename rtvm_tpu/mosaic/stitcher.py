@@ -393,8 +393,12 @@ def make_clip_step(
     MosaicState the per-window path carries.
 
     det_fn, if given, is a jittable frames_u8[B,H,W,3] -> pytree detection
-    function (e.g. ObjectDetector._infer_fn(...)); it runs inside the scan so
-    stitch + per-frame YOLO (BASELINE config 3) is also a single dispatch.
+    function (e.g. ObjectDetector._infer_fn(...)); it runs in the SAME
+    dispatch so stitch + per-frame YOLO (BASELINE config 3) is one dispatch.
+    Detection is hoisted OUT of the window scan and run once over the whole
+    clip as a single [W*B, ...] batch: the per-frame result is identical
+    (detection has no cross-frame state), but the v8n convs tile the MXU at
+    batch W*B instead of B, and XLA schedules one conv pass instead of W.
 
     Returns clip(state, windows_u8 [W,B,H,Wd,3], base_key, fweight, wtable)
     -> (state, WindowAux stacked over W[, detections stacked over W]).
@@ -404,11 +408,16 @@ def make_clip_step(
     def clip(state, windows, base_key, fweight, wtable):
         def scan_body(st, frames):
             st2, aux = body(st, frames, base_key, fweight, wtable)
-            if det_fn is not None:
-                return st2, (aux, det_fn(frames))
             return st2, (aux,)
 
         state, ys = jax.lax.scan(scan_body, state, windows)
+        if det_fn is not None:
+            w, b = windows.shape[0], windows.shape[1]
+            flat = windows.reshape((w * b,) + windows.shape[2:])
+            dets = jax.tree_util.tree_map(
+                lambda a: a.reshape((w, b) + a.shape[1:]), det_fn(flat)
+            )
+            return (state,) + tuple(ys) + (dets,)
         return (state,) + tuple(ys)
 
     return jax.jit(clip, donate_argnums=(0,))
