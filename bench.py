@@ -177,6 +177,20 @@ def device_probe():
     # AOT compile — an *executing* warm-up call latches the tunnel governor.
     compiled = clip.lower(st, dchunks[0], *args).compile()
 
+    # Calibrate the tunnel round-trip: the blocked dispatch time INCLUDES one
+    # host<->device RTT (~30 ms), which at burst sizes of 32-80 frames inflates
+    # the per-frame cost by 0.4-1 ms. A near-zero-work dispatch measures it;
+    # burst_fps stays raw (comparable with r2-r4), burst_fps_rtt_corrected is
+    # the device-time number.
+    tiny = jax.jit(lambda x: x + 1)
+    tiny_c = tiny.lower(jnp.int32(0)).compile()
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny_c(jnp.int32(0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
     ts = []
     outs = []
     for dc in dchunks[: 1 + sustain_disp]:
@@ -202,6 +216,8 @@ def device_probe():
         "burst_frames": fpd,
         "burst_ms": round(ts[0] * 1e3, 1),
         "burst_fps": round(fpd / ts[0], 2),
+        "rtt_ms": round(rtt * 1e3, 1),
+        "burst_fps_rtt_corrected": round(fpd / max(ts[0] - rtt, 1e-6), 2),
         "sustained_fps": round(n_frames / float(np.sum(ts)), 2),
         "dispatch_ms": [round(t * 1e3, 1) for t in ts[:8]],
         "total_s": round(float(np.sum(ts)), 4),
@@ -369,32 +385,40 @@ def nav_probe():
 
     n_frames = int(os.environ.get("BENCH_NAV_FRAMES", "193"))
     cfg = MosaicConfig(window_size=16)
+    # Emit a snapshot after EVERY stage: on a throttled tunnel the mosaic-scale
+    # multi-pass detection alone can outlast the probe timeout (r5 rehearsal:
+    # the whole probe was killed at 858 s and reported NOTHING) — _run_sub
+    # takes the last complete JSON line, so partial rows survive the kill.
+    row = {"config": "4", "name": "mosaic_nav_map", "partial": True}
+
     t0 = time.perf_counter()
     mosaic, stats = run_mosaic(
         VIDEO, config=cfg, detector_type="sift", max_frames=n_frames, fused=True
     )
     stitch_s = time.perf_counter() - t0
+    row.update(frames=stats["frames"], stitch_s=round(stitch_s, 2),
+               stitch_fps=round(stats["frames"] / stitch_s, 2))
+    print(json.dumps(row), flush=True)
 
     t0 = time.perf_counter()
     scaled = scale_to_screen(crop_black_areas(mosaic.output_img_u8, threshold=80, margin=30))
     det = ObjectDetector(model="yolo11n")  # serving default (reference main.py:44)
     dets = det.detect_objects(scaled)
     detect_s = time.perf_counter() - t0
+    row.update(detections=len(dets), mosaic_detect_s=round(detect_s, 2))
+    print(json.dumps(row), flush=True)
+
     t0 = time.perf_counter()
     nav = analyze_for_navigation(scaled, dets)
     nav_s = time.perf_counter() - t0
     total = stitch_s + detect_s + nav_s
-    print(json.dumps({
-        "config": "4",
-        "name": "mosaic_nav_map",
-        "frames": stats["frames"],
-        "detections": len(dets),
-        "stitch_s": round(stitch_s, 2),
-        "mosaic_detect_s": round(detect_s, 2),
-        "nav_s": round(nav_s, 2),
-        "fps_e2e_with_nav": round(stats["frames"] / total, 2),
-        "nav_map_shape": list(np.asarray(nav).shape),
-    }), flush=True)
+    row.update(
+        nav_s=round(nav_s, 2),
+        fps_e2e_with_nav=round(stats["frames"] / total, 2),
+        nav_map_shape=list(np.asarray(nav).shape),
+    )
+    row["partial"] = False
+    print(json.dumps(row), flush=True)
 
 
 def _run_sub(mode, env=None, timeout=900, tries=1, est_fps=None, cooldown=None):
@@ -511,12 +535,26 @@ def main():
         return deadline - time.time()
 
     results = {}
-    psnr = None  # _PsnrCollector, set after the health check
+    psnr = None  # _PsnrCollector, started before the health check (CPU-only)
+    health_error = None
 
     def snapshot():
         head = results.get("3") or results.get("1") or {}
         value = head.get("burst_fps") if isinstance(head, dict) else None
         pr = psnr.results if psnr else {}
+        if health_error:
+            return {
+                "metric": "stitch_yolo_blocked_fps",
+                "value": None,
+                "unit": "fps",
+                "vs_baseline": None,
+                "error": health_error,
+                "mosaic_psnr_vs_opencv_db": (round(pr["psnr_orb"], 2)
+                                             if "psnr_orb" in pr else None),
+                "mosaic_psnr_sift_db": (round(pr["psnr_sift"], 2)
+                                        if "psnr_sift" in pr else None),
+                "wall_s": round(time.time() - t_start, 1),
+            }
         return {
             "metric": (head.get("name", "stitch_yolo") if isinstance(head, dict)
                        else "stitch_yolo") + "_burst_blocked",
@@ -555,24 +593,14 @@ def main():
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    if not _device_healthy(timeout_s=int(min(120, max(10, remaining() - 60)))):
-        print(json.dumps({
-            "metric": "stitch_yolo_blocked_fps",
-            "value": None,
-            "unit": "fps",
-            "vs_baseline": None,
-            "error": "device unavailable: tiny blocked op did not complete in 120s "
-                     "(wedged axon tunnel); see NOTES_ROUND3.md findings 16/17",
-        }), flush=True)
-        return
-
-    # Full-clip PSNR on the CPU backend, in the background: overlaps the
-    # probe gaps; the device sits idle while it warms up, which refills the
-    # governor bucket ahead of the headline probe.
-    # Frame counts sized to FINISH on the 1-core host inside the run (the r04
-    # rehearsal's 448-frame ORB pass never completed in 1130 s): the CPU-backend
-    # pipeline pass costs ~2.5 s/frame alongside the probes; the slow-tier
-    # quality gates cover the same protocol at 96 frames.
+    # Full-clip PSNR on the CPU backend, in the background, started FIRST: it
+    # needs no device, so it collects even when the tunnel is wedged (VERDICT
+    # r4 weak-1), and it overlaps the probe gaps; the device sits idle while
+    # it warms up, which refills the governor bucket ahead of the headline
+    # probe. Frame counts sized to FINISH on the 1-core host inside the run
+    # (the r04 rehearsal's 448-frame ORB pass never completed in 1130 s): the
+    # CPU-backend pipeline pass costs ~2.5 s/frame alongside the probes; the
+    # slow-tier quality gates cover the same protocol at 96 frames.
     psnr = _PsnrCollector(
         int(os.environ.get("BENCH_PSNR_FRAMES", "192")),
         int(os.environ.get("BENCH_PSNR_SIFT_FRAMES", "96")),
@@ -583,6 +611,33 @@ def main():
     # 4 before 5: config 4 completes reliably (~360 s) while 5's 1080p probe
     # is the longest and riskiest — a 5-overrun must not skip 4 (r04 rehearsal)
     which = [c.strip() for c in os.environ.get("BENCH_CONFIGS", "3,1,2,4,5").split(",")]
+
+    # Health check with RETRY (VERDICT r4 item 1b): a single 120 s probe
+    # forfeits the round when the tunnel is merely slow (r5 measured a
+    # degraded-but-alive state where the tiny blocked op takes ~75-120 s) or
+    # wedged-but-recovering. Re-probe while the budget still fits at least the
+    # cheapest config probe; each failed attempt costs only its own timeout.
+    min_probe = min(PROBE_COST_S.get(c, 300) for c in which) if which else 300
+    healthy = False
+    while True:
+        t_chk = min(150, max(10, remaining() - 45))
+        if _device_healthy(timeout_s=int(t_chk)):
+            healthy = True
+            break
+        if remaining() < min_probe + 60 + 30:
+            break
+        # brief idle between attempts — harmless, and refills the governor
+        # bucket if the slowness is throttling rather than a wedge
+        time.sleep(min(45, max(0, remaining() - min_probe - 60)))
+    if not healthy:
+        health_error = (
+            "device unavailable: tiny blocked op never completed within the "
+            "run budget despite retries (wedged axon tunnel); see "
+            "NOTES_ROUND3.md findings 16/17")
+        psnr.wait(timeout=max(0, remaining() - 10))
+        psnr.kill()
+        emit()
+        return
 
     # Warm idle before the headline probe, only as slack allows.
     planned = sum(PROBE_COST_S.get(c, 300) for c in which)
@@ -619,6 +674,9 @@ def main():
                     "--device-probe", env=probe_env, timeout=timeout, tries=tries,
                     est_fps=CONFIGS[cid]["est_fps"],
                 )
+            if results[cid] is None:
+                results[cid] = {"config": cid,
+                                "error": "probe failed or timed out (no JSON line)"}
             ran_any = True
             emit()
 

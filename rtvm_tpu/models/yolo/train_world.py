@@ -34,6 +34,23 @@ SYNONYMS = {
     "pool": ["pool", "swimming pool", "pond"],
 }
 
+# HELD-OUT prompts for the open-vocab generalization eval (VERDICT r4 item 9):
+# strings the trainer NEVER tokenizes (not in SYNONYMS), lexically related the
+# way real set_classes() vocabulary is (reference main.py:51-66) — the trigram
+# text tower's claimed mechanism. Do not add these to SYNONYMS: that would
+# turn the unseen eval into a seen one.
+UNSEEN_PROMPTS = {
+    "person": "pedestrians",
+    "car": "vehicles",
+    "truck": "lorries",
+    "bus": "school bus",
+    "building": "rooftop",
+    "boat": "ships",
+    "tent": "canopies",
+    "pool": "water pool",
+}
+assert all(UNSEEN_PROMPTS[c] not in SYNONYMS[c] for c in UNSEEN_PROMPTS)
+
 
 class _WorldAdapter:
     """Presents YOLOWorld as the (cfg, apply) surface yolo_loss expects, with the
@@ -133,8 +150,13 @@ def train(
     return state, model
 
 
-def evaluate(model, variables, n: int = 48, imgsz: int = 320, conf: float = 0.25):
-    """mAP@0.5 on held-out synthetic scenes using the canonical prompts."""
+def evaluate(model, variables, n: int = 48, imgsz: int = 320, conf: float = 0.25,
+             prompts: List[str] | None = None):
+    """mAP@0.5 on held-out synthetic scenes. `prompts` (parallel to
+    AERIAL_CLASSES) defaults to the canonical class names; pass
+    [UNSEEN_PROMPTS[c] for c in AERIAL_CLASSES] for the unseen-vocabulary
+    generalization eval — only the text-tower inputs change, the class-i
+    prompt still scores class-i regions."""
     import jax
     import jax.numpy as jnp
 
@@ -144,7 +166,7 @@ def evaluate(model, variables, n: int = 48, imgsz: int = 320, conf: float = 0.25
     from rtvm_tpu.models.yolo.world import tokenize_names
 
     imgs, gtb, gtc = make_eval_set(n, imgsz)
-    ids, mask = tokenize_names(AERIAL_CLASSES)
+    ids, mask = tokenize_names(list(prompts) if prompts is not None else AERIAL_CLASSES)
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
 
     @jax.jit

@@ -400,6 +400,12 @@ def make_clip_step(
     (detection has no cross-frame state), but the v8n convs tile the MXU at
     batch W*B instead of B, and XLA schedules one conv pass instead of W.
 
+    MEMORY BOUND: detector activation memory therefore scales with the CLIP
+    length W*B, not the window size B. The pipeline's chunked dispatcher
+    (RTVM_CLIP_CHUNK, default 6 windows = 96 frames) keeps this bounded; a
+    caller passing a long clip directly to process_clip with det_fn should
+    chunk it the same way or risk HBM exhaustion at a few hundred frames.
+
     Returns clip(state, windows_u8 [W,B,H,Wd,3], base_key, fweight, wtable)
     -> (state, WindowAux stacked over W[, detections stacked over W]).
     """

@@ -47,6 +47,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _lane_extent(patch: int) -> int:
+    """Aligned lane extent of each in-kernel load (full-vreg multiple, see
+    module docstring). Single source of truth: the caller's lane padding MUST
+    cover exactly this extent or the aligned load reads out of bounds."""
+    return _round_up(patch + 128, 128)
+
+
 def _dynroll_enabled() -> bool:
     import os
 
@@ -54,8 +61,7 @@ def _dynroll_enabled() -> bool:
 
 
 def _make_kernel(patch: int, dynroll: bool):
-    # aligned lane extent per load; full-vreg multiple (see module docstring)
-    lw = _round_up(patch + 128, 128)
+    lw = _lane_extent(patch)
     ns = patch + 8  # aligned sublane extent per load
 
     def kernel(ys_ref, xs_ref, img_ref, out_ref):
@@ -109,8 +115,8 @@ def _extract_patches_impl(
     q = ys.shape[0]
     qp = _round_up(max(q, QB), QB)
     # slack for the aligned loads: rows up to 8*floor(y/8)+patch+8, lanes up
-    # to 128*floor(x/128) + roundup(patch+128, 128)
-    lw = _round_up(patch + 128, 128)
+    # to 128*floor(x/128) + _lane_extent(patch)
+    lw = _lane_extent(patch)
     wp = _round_up(w, 128) + lw
     rp = _round_up(r + 8, 8)
     img = jnp.pad(stacked, ((0, rp - r), (0, wp - w)))

@@ -601,6 +601,40 @@ def hole_limited_distance(holes: jnp.ndarray, radius: int = 16) -> jnp.ndarray:
     return out
 
 
+def _upsample2_aligned(a: jnp.ndarray, hc: int, wc: int) -> jnp.ndarray:
+    """Grid-aligned 2x bilinear upsample (even taps copy, odd taps average) —
+    the same phase-exact scheme frame_weight_eval uses; jax.image.resize's
+    half-pixel centers would shift the field by 0.5 px."""
+    gh, gw = a.shape
+    a = jnp.stack([a, 0.5 * (a + jnp.concatenate([a[1:], a[-1:]], 0))], axis=1).reshape(gh * 2, gw)
+    a = jnp.stack([a, 0.5 * (a + jnp.concatenate([a[:, 1:], a[:, -1:]], 1))], axis=2).reshape(gh * 2, gw * 2)
+    return a[:hc, :wc]
+
+
+def hole_limited_distance_strided(holes: jnp.ndarray, radius: int = 16) -> jnp.ndarray:
+    """hole_limited_distance evaluated on a stride-2 grid and upsampled.
+
+    The chamfer field is piecewise linear (cones around holes), so a 2x grid
+    + grid-aligned bilinear upsample reproduces it to ~1 px — the same
+    argument frame_weight_eval uses for the quad field — at ~1/7 the HBM
+    traffic (r4 profile: the full-res transform's ~45 full-canvas shift ops
+    were the dominant surviving paint cost). Holes are any-pooled into the
+    coarse grid (<= 1 px dilation). The beyond-radius plateau (~1e9) cannot be
+    interpolated across (a 15-vs-1e9 pair would blow up mid values), so the
+    field is capped for the upsample and the plateau is restored wherever all
+    contributing coarse taps sit on it."""
+    hc, wc = holes.shape
+    ph, pw = (-hc) % 2, (-wc) % 2
+    h2 = jnp.pad(holes, ((0, ph), (0, pw)))
+    h_lo = h2.reshape((hc + ph) // 2, 2, (wc + pw) // 2, 2).max(axis=(1, 3))
+    r_lo = radius // 2 + 1
+    d_lo = hole_limited_distance(h_lo, r_lo)
+    cap = jnp.float32(r_lo + 2.0)
+    up = _upsample2_aligned(jnp.minimum(d_lo, cap), hc, wc) * 2.0
+    plateau = _upsample2_aligned((d_lo >= cap).astype(jnp.float32), hc, wc)
+    return jnp.where(plateau > 0.999, jnp.float32(1e9), up)
+
+
 def frame_weight_with_holes(new_px: jnp.ndarray, w_quad: jnp.ndarray, radius: int = 16) -> jnp.ndarray:
     """Complete w_new: the analytic clipped-quad distance, limited by the
     distance to black CONTENT pixels inside the footprint. The reference's
@@ -610,7 +644,7 @@ def frame_weight_with_holes(new_px: jnp.ndarray, w_quad: jnp.ndarray, radius: in
     w_new = 0 (not painted — exactly the reference's np.where semantics)."""
     content = jnp.max(new_px, axis=0) > 0.0
     holes = (w_quad > 0.0) & ~content
-    d_holes = hole_limited_distance(holes, radius)
+    d_holes = hole_limited_distance_strided(holes, radius)
     return jnp.where(content, jnp.minimum(w_quad, d_holes), 0.0)
 
 

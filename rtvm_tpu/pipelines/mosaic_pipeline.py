@@ -46,10 +46,11 @@ def run_mosaic(
     (main.py:1630-1632) but is invoked per window (a full-canvas device->host copy per
     frame would throttle the TPU for no benefit).
 
-    fused=True pre-decodes the video and runs ALL full windows as ONE device
-    dispatch (VideMosaic.process_clip: lax.scan over window steps) — the fast
-    path when no per-window observability is needed; callbacks/progress then
-    fire once at the end, and auto-grow/intermediate dumps are unavailable.
+    fused=True streams the decoded windows into chunked multi-window device
+    dispatches (VideMosaic.process_clip: lax.scan over window steps) — the
+    fast path when no per-window host work is needed; update_callback fires
+    once per chunk (~RTVM_CLIP_CHUNK x window frames — the live GUI/web feed)
+    plus once at 100%, and intermediate dumps are unavailable.
     """
     if fused:
         # The fused scan cannot honor per-window host work: Detections/*.jpg
@@ -92,6 +93,8 @@ def run_mosaic(
     timer = timer or StageTimer()
     reader = VideoReader(video_path, window=config.window_size, max_frames=max_frames)
     total_hint = reader.frame_count_hint if reader.frame_count_hint > 0 else None
+    if total_hint and max_frames:
+        total_hint = min(total_hint, max_frames)  # pct against what will actually run
 
     with timer.stage("init"):
         mosaic = VideMosaic(
@@ -212,6 +215,9 @@ def _run_mosaic_fused(
         run = per_frame_detector._infer_fn(640, 0.25, 0.45)
         det_fn = lambda fr: run(fr)
 
+    total_hint = reader.frame_count_hint if reader.frame_count_hint > 0 else None
+    if total_hint and max_frames:
+        total_hint = min(total_hint, max_frames)  # pct against what will actually run
     t0 = time.perf_counter()
     aux = dets = None
     auxes, detss = [], []
@@ -229,6 +235,14 @@ def _run_mosaic_fused(
             detss.append(d)
             jax.block_until_ready(mosaic.state.canvas)
         n_full += len(windows)
+        if update_callback is not None:
+            # live GUI/web feed on the fused path (reference gui.py:139-158):
+            # one canvas pull per chunk (~chunk*B frames) is cheap next to the
+            # dispatch itself, and keeps config 5's preview moving.
+            done = 1 + n_full * B
+            pct = min(99.0, 100.0 * done / total_hint) if total_hint else 0.0
+            with timer.stage("callback"):
+                update_callback(done, mosaic.output_img_u8, pct)
 
     it = reader.windows()
     while True:

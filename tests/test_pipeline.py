@@ -193,12 +193,20 @@ def test_run_mosaic_fused_matches_windowed(tmp_path):
     assert np.abs(m1.output_img - m2.output_img).mean() < 0.5
 
     # chunked fused dispatches (RTVM_CLIP_CHUNK) chain state on-device and
-    # concatenate the per-chunk aux pytrees — must match the single dispatch
+    # concatenate the per-chunk aux pytrees — must match the single dispatch.
+    # The live feed (VERDICT r4 item 7, reference gui.py:139-158) must fire
+    # update_callback at least once per chunk dispatch, plus the final 100%.
+    calls = []
     os.environ["RTVM_CLIP_CHUNK"] = "1"
     try:
-        m3, s3 = run_mosaic(path, config=cfg, detector_type="orb", fused=True)
+        m3, s3 = run_mosaic(path, config=cfg, detector_type="orb", fused=True,
+                            update_callback=lambda fc, img, pct: calls.append((fc, img.shape, pct)))
     finally:
         del os.environ["RTVM_CLIP_CHUNK"]
     assert s3["frames"] == s1["frames"]
     assert s3["accepted"] == s2["accepted"]
     assert np.abs(m3.output_img - m2.output_img).mean() < 1e-3
+    assert len(calls) >= s3["fused_windows"] + 1  # one per chunk (chunk=1) + final
+    fcs = [c[0] for c in calls]
+    assert fcs == sorted(fcs) and calls[-1][2] == 100.0
+    assert all(c[1][2] == 3 and 0 <= c[2] <= 100 for c in calls)
