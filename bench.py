@@ -256,11 +256,15 @@ def stream_probe():
     f0, rest = frames[0], frames[1:]
 
     pre = prescan_canvas(iter(frames), f0.shape[:2], stride=8)
-    det_model = os.environ.get("BENCH_1080P_DET", "yolov8s")
-    # No random-weight benchmark rows (r2 VERDICT item 4): if the requested
-    # variant has no trained aerial checkpoint, bench the trained yolov8n
-    # honestly instead and say so in the row's name/detector_ckpt.
-    if not os.path.exists(os.path.join("weights", f"{det_model}_aerial.npz")):
+    det_model = os.environ.get("BENCH_1080P_DET", "yolov8l")
+    # No random-weight benchmark rows (r2 VERDICT item 4): BASELINE.md:29
+    # specifies YOLOv8l for config 5; fall back down the trained-checkpoint
+    # chain honestly (the row's name/detector_ckpt says which ran).
+    for cand in (det_model, "yolov8s", "yolov8n"):
+        if os.path.exists(os.path.join("weights", f"{cand}_aerial.npz")):
+            det_model = cand
+            break
+    else:
         det_model = "yolov8n"
     det = ObjectDetector(model=det_model, load_world=False)
     if pre is None:

@@ -97,7 +97,11 @@ def main(argv=None):
         # multi-scale gradients (1/1, 1/2, 1/4) — sharp roof edges AND smooth
         # terrain trends both constrain the prediction
         g = sum(grad_l1(pred[:, ::k, ::k], near[:, ::k, ::k]) for k in (1, 2, 4))
-        return 5.0 * mse + rel + aligned + g
+        # r5: weight the aligned (metric) term 3x — the raw mse/rel anchors fix
+        # polarity early, after which the eval metric itself should dominate
+        # (r5 floor study: a sigma-5-smooth oracle scores 0.107, so the 0.25
+        # target is a training question, not task saturation)
+        return 5.0 * mse + rel + 3.0 * aligned + g
 
     @jax.jit
     def step(params, opt_state, imgs, near):

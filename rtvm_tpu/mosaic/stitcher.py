@@ -308,14 +308,20 @@ def make_step_body(frame_shape: Tuple[int, int, int], cfg: MosaicConfig):
                     jnp.maximum(ups - warp_ops.CELL_PX / 2.0, 1.0),
                     0.0,
                 )
+                # The 31x31-smoothed blend weights (reference main.py:894-898)
+                # depend only on (w_new, w_old) — both fully batched above —
+                # so the two Gaussian blurs per frame ALSO batch out of the
+                # scan; the scan body is pure elementwise compositing.
+                alpha_seq, beta_seq = jax.vmap(warp_ops.blend_weights_smoothed)(
+                    wnew_seq, wold_seq
+                )
 
                 def body(canvas, xs):
-                    new_px, w_new, w_old = xs
-                    canvas, _ = warp_ops._blend_cm(canvas, w_old, new_px, w_new)
-                    return canvas, None
+                    new_px, w_new, w_old, al, be = xs
+                    return warp_ops.blend_apply_cm(canvas, new_px, w_new, w_old, al, be), None
 
                 canvas, _ = jax.lax.scan(
-                    body, canvas0, (new_seq, wnew_seq, wold_seq)
+                    body, canvas0, (new_seq, wnew_seq, wold_seq, alpha_seq, beta_seq)
                 )
                 return canvas, union0 | inc[-1]
 

@@ -349,18 +349,56 @@ def pallas_regime_ok(H: jnp.ndarray, out_h: int, out_w: int, hf: int, wf: int) -
     return base & (du_dy < shear_max) & (dv_dx < shear_max)
 
 
-def _blend_cm(canvas, canvas_weight, new_px, w_new) -> BlendedCanvas:
-    """Feathered composite (channel-major [3, Hc, Wc] canvas) of a warped frame
-    (new_px [3, Hc, Wc], weight w_new [Hc, Wc], 0 = no content) — elementwise only."""
+# cv2.GaussianBlur((31, 31), sigmaX=0) resolves to sigma 5.0 (the reference's
+# weight smoothing, main.py:894-898); radius 15 -> exactly 31 taps.
+BLEND_SMOOTH_SIGMA = 5.0
+BLEND_SMOOTH_RADIUS = 15
+
+
+def blend_weights_smoothed(w_new: jnp.ndarray, w_old: jnp.ndarray):
+    """Reference blend weights (main.py:888-906): normalized distance weights
+    smoothed with a 31x31 Gaussian, used WITHOUT renormalizing — near the
+    mask-union boundary their sum dips below 1 (the blur leaks weight outside
+    the union), slightly darkening the overlap there; that is reference
+    behavior, reproduced deliberately (the r5 exact-blend oracle measured
+    36 dB against the unsmoothed blend — the smoothing is visible, not
+    cosmetic). w_old_smooth is computed as blur(union_indicator) - blur(alpha)
+    = blur(1 - alpha inside the union), saving the third blur.
+
+    Depends ONLY on (w_new, w_old) — not on pixel content — so the stitcher
+    vmaps this over the whole window outside the blend scan (w_old comes from
+    the batched cumulative-OR union distances), leaving the scan body pure
+    elementwise. Returns (alpha_s, beta_s)."""
+    from rtvm_tpu.ops.filters import gaussian_blur
+
+    s = w_new + w_old + 1e-6
+    alpha = w_new / s
+    region = ((w_new > 0.0) | (w_old > 0.0)).astype(jnp.float32)
+    alpha_s = gaussian_blur(alpha, BLEND_SMOOTH_SIGMA, BLEND_SMOOTH_RADIUS)
+    beta_s = gaussian_blur(region, BLEND_SMOOTH_SIGMA, BLEND_SMOOTH_RADIUS) - alpha_s
+    return alpha_s, beta_s
+
+
+def blend_apply_cm(canvas, new_px, w_new, w_old, alpha_s, beta_s) -> jnp.ndarray:
+    """Elementwise composite with precomputed smoothed weights: blend in the
+    overlap, hard-copy new-only, keep old elsewhere (main.py:902-906)."""
     has_new = w_new > 0.0
-    has_old = canvas_weight > 0.0
-    alpha = w_new / (w_new + canvas_weight + 1e-6)
-    blended = alpha[None] * new_px + (1.0 - alpha[None]) * canvas
-    out = jnp.where(
+    has_old = w_old > 0.0
+    blended = alpha_s[None] * new_px + beta_s[None] * canvas
+    return jnp.where(
         (has_new & has_old)[None],
         blended,
         jnp.where(has_new[None], new_px, canvas),
     )
+
+
+def _blend_cm(canvas, canvas_weight, new_px, w_new) -> BlendedCanvas:
+    """Feathered composite (channel-major [3, Hc, Wc] canvas) of a warped frame
+    (new_px [3, Hc, Wc], weight w_new [Hc, Wc], 0 = no content). Single-frame
+    form of blend_weights_smoothed + blend_apply_cm (see those for the
+    reference semantics)."""
+    alpha_s, beta_s = blend_weights_smoothed(w_new, canvas_weight)
+    out = blend_apply_cm(canvas, new_px, w_new, canvas_weight, alpha_s, beta_s)
     return BlendedCanvas(canvas=out, weight=jnp.maximum(canvas_weight, w_new))
 
 
@@ -616,10 +654,19 @@ def hole_limited_distance_strided(holes: jnp.ndarray, radius: int = 16) -> jnp.n
 
     The chamfer field is piecewise linear (cones around holes), so a 2x grid
     + grid-aligned bilinear upsample reproduces it to ~1 px — the same
-    argument frame_weight_eval uses for the quad field — at ~1/7 the HBM
+    argument frame_weight_eval uses for the quad field — at ~1/4 the HBM
     traffic (r4 profile: the full-res transform's ~45 full-canvas shift ops
     were the dominant surviving paint cost). Holes are any-pooled into the
-    coarse grid (<= 1 px dilation). The beyond-radius plateau (~1e9) cannot be
+    coarse grid (<= 1 px dilation).
+
+    The coarse transform runs with r_lo = radius (NOT radius/2): the full-res
+    transform's min-plus row pass actually propagates real values to
+    2*radius-1 px and its column combine to radius px, and the blend USES
+    those beyond-'radius' values (min(w_quad, d)); an r5 regression measured
+    -15 dB PSNR when the strided field plateaued at ~1.3x radius. With
+    r_lo = radius the coarse coverage (2x in full-res units) strictly
+    contains the full-res version's, i.e. it is closer to the cv2 oracle's
+    unbounded transform. The beyond-coverage plateau (~1e9) cannot be
     interpolated across (a 15-vs-1e9 pair would blow up mid values), so the
     field is capped for the upsample and the plateau is restored wherever all
     contributing coarse taps sit on it."""
@@ -627,9 +674,9 @@ def hole_limited_distance_strided(holes: jnp.ndarray, radius: int = 16) -> jnp.n
     ph, pw = (-hc) % 2, (-wc) % 2
     h2 = jnp.pad(holes, ((0, ph), (0, pw)))
     h_lo = h2.reshape((hc + ph) // 2, 2, (wc + pw) // 2, 2).max(axis=(1, 3))
-    r_lo = radius // 2 + 1
+    r_lo = radius
     d_lo = hole_limited_distance(h_lo, r_lo)
-    cap = jnp.float32(r_lo + 2.0)
+    cap = jnp.float32(2.0 * r_lo)
     up = _upsample2_aligned(jnp.minimum(d_lo, cap), hc, wc) * 2.0
     plateau = _upsample2_aligned((d_lo >= cap).astype(jnp.float32), hc, wc)
     return jnp.where(plateau > 0.999, jnp.float32(1e9), up)

@@ -108,7 +108,9 @@ def test_fidelity_psnr_real_clip_128_frames():
     if not os.path.exists(clip):
         pytest.skip("bundled drone clip not available")
     p = mosaic_psnr_vs_opencv(clip, n_frames=128, window=16, detector="orb")
-    assert p >= 40.0, p
+    # ratcheted to just under measured (r5: 54.51 dB vs the EXACT oracle —
+    # 31x31 Gaussian weight smoothing now on both sides); BASELINE bar is 40
+    assert p >= 52.0, p
 
 
 @pytest.mark.slow
@@ -124,7 +126,8 @@ def test_fidelity_psnr_sift_path_real_clip():
     if not os.path.exists(clip):
         pytest.skip("bundled drone clip not available")
     p = mosaic_psnr_vs_opencv(clip, n_frames=96, window=16, detector="sift")
-    assert p >= 40.0, p
+    # ratcheted to just under measured (r5: 49.49 dB vs the EXACT oracle)
+    assert p >= 47.0, p
 
 
 def test_prescan_canvas_covers_pan(synthetic_video):

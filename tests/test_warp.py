@@ -96,10 +96,17 @@ def test_blend_semantics(textured_image):
     # offset: y=90+40? (H puts frame at (60+?, 90+40)) — just check some content landed
     assert (w1n > 0).sum() > 0.5 * HF * WF
     assert float(np.abs(c1n).max()) > 10
-    # blending same frame twice is a no-op (alpha mixes identical pixels)
+    # blending same frame twice is a no-op in the INTERIOR (alpha mixes
+    # identical pixels; the smoothed weights' sum dips below 1 only within
+    # ~15 px of the union boundary — reference main.py:894-898 behavior, the
+    # 31x31 Gaussian leaks weight outside the mask union)
     c2, w2 = W.warp_blend_fast(c1, w1, stack[:3], stack[3], H)
     m = np.asarray(w2) > 0
-    assert _psnr_masked(np.asarray(c2), c1n, m) > 45
+    r = W.BLEND_SMOOTH_RADIUS + 2
+    er = m.copy()
+    for sh in (r, -r):
+        er &= np.roll(m, sh, 0) & np.roll(m, sh, 1)
+    assert _psnr_masked(np.asarray(c2), c1n, er) > 45
 
 
 def test_warp_blend_psnr_vs_reference_blend_pipeline(textured_image):
@@ -207,15 +214,27 @@ def test_hole_limited_distance_strided_matches_full(rng):
     holes[40:44, 60:66] = True  # a blob, not just points
     full = np.asarray(hole_limited_distance(jnp.asarray(holes), radius=16))
     strided = np.asarray(hole_limited_distance_strided(jnp.asarray(holes), radius=16))
-    near = full < 14.0  # inside both versions' exact radius
+    # inside the nominal radius the full-res field is exact — match it there.
+    # (beyond it the full-res pass still emits values — row-propagated
+    # OVER-estimates the blend nevertheless uses, which caused the r5 -15 dB
+    # regression when the strided field plateaued at ~1.3x radius — but they
+    # are not ground truth, so out there we compare against the radius-32
+    # transform instead, which is exact to 32 px.)
+    near = full < 14.0
     err = np.abs(strided - full)[near]
     # any-pooling moves a hole by <= 1 px and the 2x interp adds <= ~1 px
     assert err.max() < 2.5, err.max()
     assert err.mean() < 0.7, err.mean()
-    # plateau: far from every hole both versions are effectively +inf
-    far = full > 1e8
-    # the strided plateau may start ~2 px earlier/later; check well inside it
-    well_far = far & (np.asarray(hole_limited_distance(jnp.asarray(holes), radius=32)) > 40)
-    if well_far.any():
-        assert (strided[well_far] > 1e8).all()
+    ref32 = np.asarray(hole_limited_distance(jnp.asarray(holes), radius=32))
+    mid = (ref32 > 12.0) & (ref32 < 28.0)
+    err_mid = np.abs(strided - ref32)[mid]
+    assert err_mid.max() < 3.5, err_mid.max()
+    # wherever the strided field reports a real value it must never undercut
+    # the true distance (chamfer >= 0.955 * Euclid) beyond pool/interp slack —
+    # an undercut would bleed hole feathering into clean content
+    from scipy import ndimage
+
+    d_euc = ndimage.distance_transform_edt(~holes)
+    real = strided < 1e8
+    assert (strided[real] >= 0.955 * d_euc[real] - 3.0).all()
     assert (strided[holes] < 2.1).all()  # ~zero (up to any-pool + interp) at holes
