@@ -37,8 +37,13 @@ fully characterized in tools/tunnel_probe*.py and NOTES_ROUND3.md:
                     clip. Past the ~0.7 s budget the governor stretches every
                     dispatch ~10x, so this number measures the TUNNEL's duty
                     policy, not the chip; it is reported for transparency.
-- The burst window count per config is PRE-DECLARED (est_fps below), not
-  selected after the fact.
+- The burst window count is chosen by an ADAPTIVE two-dispatch protocol
+  (round 5): a 1-window calibration dispatch from the full bucket measures the
+  true step rate, then the headline burst is sized from that rate to fill the
+  REMAINING bucket with margin. Small bursts are RTT-capped, large ones graze
+  the bucket; the in-probe calibration is the only way to hit the window
+  between them without knowing the rate in advance. est_fps below is used
+  only for retry heuristics and deadline planning.
 - AOT compile (`jit(f).lower(args).compile()`) — an *executing* warm-up call
   during compile latches the governor before measurement starts.
 - The full-clip PSNR fidelity passes (ORB then SIFT) run on the CPU backend in
@@ -62,22 +67,18 @@ VIDEO = "/root/reference/Data/поиски квадрокоптера 2 (360p) 0
 BASELINE_FPS = 12.5
 
 # BASELINE.json configs. `det` names the per-frame detector run INSIDE the
-# fused dispatch (config 3); `res` upsamples the clip (config 5); `est_fps` is
-# the pre-declared device-speed estimate that sizes the burst dispatch to the
-# governor's ~0.7 s full-speed budget — UPDATE IT when the kernels speed up,
-# a burst sized well under the budget pays a larger RTT fraction.
+# fused dispatch (config 3); `res` upsamples the clip (config 5). `est_fps` is
+# the MEASURED burst rate from the round-5 rehearsal (artifacts/round5/
+# bench_rehearsal.json — graze-capped, so a lower bound; ADVICE r4 item 3); it
+# no longer sizes the burst (the adaptive calibration dispatch does), only the
+# retry threshold in _run_sub.
 CONFIGS = {
-    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None, est_fps=400),
-    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, est_fps=330),
+    "1": dict(name="360p_orb_stitch", detector="orb", det=None, res=None, est_fps=290),
+    "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, est_fps=220),
     "3": dict(name="360p_sift_stitch_yolov8n", detector="sift", det="yolov8n", res=None,
-              est_fps=290),
+              est_fps=180),
     "5": dict(name="1080p_stream_yolov8s", detector="orb", det=None, res=(1920, 1080)),
 }
-
-BUDGET_S = 0.22  # device-time budget one burst dispatch aims to fill.
-# Rehearsal finding (round 4): the governor latches on single dispatches past
-# ~300 ms AND a 120 s warm idle refills only ~0.3 s of full-speed budget, so
-# bursts must fit BOTH bounds; 0.22 s keeps the dispatch ~150-250 ms.
 
 # Conservative wall-cost estimates per probe (subprocess start + imports +
 # frame decode + AOT compile + dispatches), used only for skip/idle decisions.
@@ -130,9 +131,8 @@ def device_probe():
     cid = os.environ.get("BENCH_CONFIG", "1")
     c = CONFIGS[cid]
     window = int(os.environ.get("BENCH_WINDOW", "16"))
-    burst_w = int(os.environ.get(
-        "BENCH_BURST", str(max(2, int(BUDGET_S * c["est_fps"] / window)))
-    ))
+    # BENCH_BURST pins the burst size (windows) and disables adaptive sizing.
+    forced_burst = os.environ.get("BENCH_BURST")
     max_frames = int(os.environ.get("BENCH_FRAMES", "600"))
     # burst + this many extra dispatches; the governor-throttled sustained rate
     # is fully characterized after 2 dispatches, and a whole-clip sustained
@@ -141,13 +141,8 @@ def device_probe():
 
     frames = _load_frames(max_frames, c["res"])
     f0, rest = frames[0], frames[1:]
-    # never size the burst past the clip: at least one dispatch must exist
-    burst_w = min(burst_w, max(1, len(rest) // window))
-    n_disp = len(rest) // (window * burst_w)
-    n_windows = n_disp * burst_w
-    chunks = rest[: n_windows * window].reshape(
-        n_disp, burst_w, window, *rest.shape[1:]
-    )
+    n_wins = max(1, len(rest) // window)
+    wins = rest[: n_wins * window].reshape(n_wins, window, *rest.shape[1:])
 
     int(jnp.int32(0))  # force real sync semantics before timing
     cfg = MosaicConfig(window_size=window)
@@ -168,14 +163,16 @@ def device_probe():
     # mosaic.config carries the detector_type replacement — the raw cfg would
     # build a SIFT clip step against ORB descriptors in the state
     clip = make_clip_step(mosaic.frame_shape, mosaic.config, det_fn)
-    st = mosaic.state
+    st0 = mosaic.state
     args = (mosaic._key, mosaic._fweight, mosaic._wtable)
-    # stage every chunk in HBM up front (uint8: 592 360p frames = 0.4 GB)
-    dchunks = [jax.device_put(jnp.asarray(wc, jnp.uint8)) for wc in chunks]
-    jax.block_until_ready(dchunks[-1])
+    # stage every window in HBM up front (uint8: 592 360p frames = 0.4 GB)
+    d_all = jax.device_put(jnp.asarray(wins, jnp.uint8))
+    jax.block_until_ready(d_all)
 
-    # AOT compile — an *executing* warm-up call latches the tunnel governor.
-    compiled = clip.lower(st, dchunks[0], *args).compile()
+    def _compile_for(bw):
+        """AOT compile the bw-window chunk shape — an *executing* warm-up call
+        would latch the tunnel governor; lower().compile() is host-side."""
+        return clip.lower(st0, d_all[:bw], *args).compile()
 
     # Calibrate the tunnel round-trip: the blocked dispatch time INCLUDES one
     # host<->device RTT (~30 ms), which at burst sizes of 32-80 frames inflates
@@ -191,33 +188,74 @@ def device_probe():
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
 
-    ts = []
+    # --- Adaptive two-dispatch burst (round 5) ---------------------------
+    # The raw burst number is squeezed from both sides: the ~30 ms RTT caps
+    # small bursts (16 frames at 350 fps = 46 ms device + 30 ms RTT -> raw
+    # 210 fps), while the governor bucket (~0.28 s at probe time, NOT the
+    # historical ~0.7 s — NOTES_ROUND5) latches large ones. So: dispatch A
+    # (1 window, from the full bucket) measures the true step rate; dispatch
+    # B is sized from that rate to fill the REMAINING bucket with margin,
+    # amortizing the RTT as far as the bucket allows. The B compile happens
+    # between the two dispatches — host-side, device idle, no drain.
+    bucket_s = float(os.environ.get("BENCH_BUCKET", "0.27"))
+    ts = []          # all dispatch walls, in order (for sustained)
+    sizes = []       # windows per dispatch, parallel to ts
     outs = []
-    for dc in dchunks[: 1 + sustain_disp]:
+    st = st0
+
+    def _dispatch(compiled, lo, bw):
+        nonlocal st
+        chunk = d_all[lo : lo + bw]
+        jax.block_until_ready(chunk)  # slice copy outside the timed region
         t0 = time.perf_counter()
-        out = compiled(st, dc, *args)  # (state, aux[, detections])
+        out = compiled(st, chunk, *args)  # (state, aux[, detections])
         st, aux = out[0], out[1]
         jax.block_until_ready(st.canvas)
         ts.append(time.perf_counter() - t0)
+        sizes.append(bw)
         outs.append(aux.ok)
+
+    comp_1 = _compile_for(1)
+    _dispatch(comp_1, 0, 1)
+    t_cal_dev = max(ts[0] - rtt, 1e-3)
+    cal_fps = window / t_cal_dev
+
+    if forced_burst is not None:
+        burst_w = max(1, min(int(forced_burst), n_wins - 1))
+    else:
+        # fill what's left of the bucket at the measured rate, 0.85 margin
+        left = max(bucket_s - t_cal_dev, 0.0)
+        burst_w = int(0.85 * cal_fps * left / window)
+        burst_w = max(1, min(burst_w, n_wins - 1, 8))
+    comp_b = comp_1 if burst_w == 1 else _compile_for(burst_w)
+    lo = 1
+    n_disp = 1 + max(0, (n_wins - 1) // burst_w)
+    for _ in range(min(1 + sustain_disp, n_disp) - 1):
+        _dispatch(comp_b, lo, burst_w)
+        lo += burst_w
         if time.time() > probe_deadline:
             break  # sustained section truncated by the probe's own deadline
+
     ok_frames = int(np.asarray(jnp.concatenate([o.reshape(-1) for o in outs])).sum())
-    n_frames = len(ts) * burst_w * window
-    fpd = burst_w * window  # frames per dispatch
+    n_frames = sum(sizes) * window
+    # headline = the sized dispatch (B); fall back to A if B never ran
+    bi = 1 if len(ts) > 1 else 0
+    fpd = sizes[bi] * window
     print(json.dumps({
         "config": cid,
         "name": c["name"],
         "frames": n_frames,
-        "windows_per_dispatch": burst_w,
+        "windows_per_dispatch": sizes[bi],
         "dispatches": len(ts),
         "dispatches_planned": n_disp,
         "accepted": ok_frames,
+        "cal_ms": round(ts[0] * 1e3, 1),
+        "cal_fps_rtt_corrected": round(cal_fps, 2),
         "burst_frames": fpd,
-        "burst_ms": round(ts[0] * 1e3, 1),
-        "burst_fps": round(fpd / ts[0], 2),
+        "burst_ms": round(ts[bi] * 1e3, 1),
+        "burst_fps": round(fpd / ts[bi], 2),
         "rtt_ms": round(rtt * 1e3, 1),
-        "burst_fps_rtt_corrected": round(fpd / max(ts[0] - rtt, 1e-6), 2),
+        "burst_fps_rtt_corrected": round(fpd / max(ts[bi] - rtt, 1e-6), 2),
         "sustained_fps": round(n_frames / float(np.sum(ts)), 2),
         "dispatch_ms": [round(t * 1e3, 1) for t in ts[:8]],
         "total_s": round(float(np.sum(ts)), 4),

@@ -31,8 +31,9 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="weights")
     a = ap.parse_args(argv)
 
+    from rtvm_tpu.models.yolo.synth import AERIAL_CLASSES
     from rtvm_tpu.models.yolo.train_world import UNSEEN_PROMPTS, evaluate
-    from rtvm_tpu.models.yolo.world import AERIAL_CLASSES, build_yolo_world
+    from rtvm_tpu.models.yolo.world import build_yolo_world
     from rtvm_tpu.utils.checkpoint import load_pytree_npz
 
     path = os.path.join(a.out_dir, f"{a.variant}_world.npz")
