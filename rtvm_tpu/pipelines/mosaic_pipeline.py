@@ -114,6 +114,7 @@ def run_mosaic(
     aux_pending = []  # device-side aux; fetched after the loop so the TPU never stalls
     t0 = time.perf_counter()
     windows = 0
+    first_done = [None, 1]  # (t after first window, frames it covered)
     import jax
 
     for frames, n_valid in reader.windows():
@@ -141,6 +142,8 @@ def run_mosaic(
                         )
         windows += 1
         frame_count += n_valid
+        if first_done[0] is None:
+            first_done[:] = [time.perf_counter(), frame_count]
         if frame_count % 50 < config.window_size:
             pct = 100.0 * frame_count / total_hint if total_hint else 0.0
             print(f"Обработан кадр {frame_count}/{total_hint or '?'} ({pct:.1f}%)")
@@ -165,6 +168,12 @@ def run_mosaic(
     }
     if per_frame_detector is not None:
         stats["per_frame_detections"] = sum(len(d) for d in per_frame_dets)
+    if first_done[0] is not None and frame_count > first_done[1]:
+        # steady-state wall rate past the first window's jit trace + compile
+        steady_el = elapsed - (first_done[0] - t0)
+        if steady_el > 0:
+            stats["steady_fps"] = (frame_count - first_done[1]) / steady_el
+            stats["first_window_s"] = first_done[0] - t0
     return mosaic, stats
 
 
@@ -223,6 +232,7 @@ def _run_mosaic_fused(
     auxes, detss = [], []
     n_full = 0
     n_frames = 0
+    first_done = [None, 0]  # (t after first dispatch, windows it covered)
     buf: list = []  # full windows accumulating toward one chunk dispatch
     tail: list = []  # the final short window, if any
 
@@ -235,6 +245,8 @@ def _run_mosaic_fused(
             detss.append(d)
             jax.block_until_ready(mosaic.state.canvas)
         n_full += len(windows)
+        if first_done[0] is None:
+            first_done[:] = [time.perf_counter(), n_full]
         if update_callback is not None:
             # live GUI/web feed on the fused path (reference gui.py:139-158):
             # one canvas pull per chunk (~chunk*B frames) is cheap next to the
@@ -289,6 +301,15 @@ def _run_mosaic_fused(
         "decode_wait_s": timer.totals.get("decode_wait", 0.0),
         "fused_windows": n_full,
     }
+    if first_done[0] is not None and n_full > first_done[1]:
+        # steady-state wall rate: everything after the FIRST chunk dispatch
+        # (which carries the jit trace + XLA compile — minutes on the CPU
+        # backend, so whole-run fps under-reports what a long clip sustains)
+        steady_el = elapsed - (first_done[0] - t0)
+        steady_fr = frames_total - (1 + first_done[1] * B)
+        if steady_el > 0:
+            stats["steady_fps"] = steady_fr / steady_el
+            stats["first_chunk_s"] = first_done[0] - t0
     if dets is not None:
         stats["det_scores_shape"] = tuple(np.asarray(dets.scores).shape)
     return mosaic, stats

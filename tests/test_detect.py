@@ -263,9 +263,10 @@ def test_trained_checkpoint_detection_quality():
 def test_trained_yolo11n_checkpoint_quality():
     """Round-4 (VERDICT r3 item 3): the reference's primary model is YOLO11n
     (main.py:44); the genuine 11-series graph now has a trained aerial
-    checkpoint (train_synth --model yolo11n on the tunneled v5e). Ratcheted
-    just under measured: mAP50 0.851 / person 0.842 on this unseen eval seed
-    (trainer eval seed 9999: 0.9115 at step 3000)."""
+    checkpoint (train_synth --model yolo11n on the tunneled v5e). Round-5
+    (VERDICT r4 item 4) retrained it to v8n's 11k-step regime; ratcheted just
+    under measured: mAP50 0.8995 / person 0.9208 on this unseen eval seed
+    (trainer eval seed 9999: 0.9548 at step 11000, was 0.9115 at 3k)."""
     import os
 
     if not os.path.exists("weights/yolo11n_aerial.npz"):
@@ -287,8 +288,8 @@ def test_trained_yolo11n_checkpoint_quality():
     imgs, gtb, gtc = make_eval_set(n=16, size=320, seed=424242)  # unseen seed
     dets = predict_scenes(model, variables, imgs, conf=0.25, bf16=False)
     report = evaluate_map(dets, gtb, gtc, AERIAL_CLASSES)
-    assert report["mAP50"] >= 0.80, report
-    assert report["person"] >= 0.78, report
+    assert report["mAP50"] >= 0.87, report
+    assert report["person"] >= 0.88, report
 
 
 def test_rectangular_letterbox_matches_square_geometry():

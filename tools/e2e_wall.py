@@ -23,7 +23,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VIDEO = os.path.join(
-    "/root/reference/Data", "поиски квадрокоптера 2 (360p) 02.mp4"
+    "/root/reference/Data", "поиски квадрокоптера 2 (360p) 01.mp4"
 )
 
 
@@ -68,7 +68,10 @@ def main():
     os.makedirs(os.path.join(ROOT, "artifacts/round5"), exist_ok=True)
     with open(os.path.join(ROOT, "artifacts/round5/e2e_wall.json"), "w") as f:
         json.dump(results, f, indent=1)
-    print(json.dumps({"e2e_wall": {m: results[m].get("fps") for m in ("fused", "windowed")}}))
+    print(json.dumps({"e2e_wall": {
+        m: {"fps": results[m].get("fps"), "steady_fps": results[m].get("steady_fps")}
+        for m in ("fused", "windowed")
+    }}))
 
 
 if __name__ == "__main__":
