@@ -37,13 +37,14 @@ fully characterized in tools/tunnel_probe*.py and NOTES_ROUND3.md:
                     clip. Past the ~0.7 s budget the governor stretches every
                     dispatch ~10x, so this number measures the TUNNEL's duty
                     policy, not the chip; it is reported for transparency.
-- The burst window count is chosen by an ADAPTIVE two-dispatch protocol
-  (round 5): a 1-window calibration dispatch from the full bucket measures the
-  true step rate, then the headline burst is sized from that rate to fill the
-  REMAINING bucket with margin. Small bursts are RTT-capped, large ones graze
-  the bucket; the in-probe calibration is the only way to hit the window
-  between them without knowing the rate in advance. est_fps below is used
-  only for retry heuristics and deadline planning.
+- The burst window count is sized DETERMINISTICALLY from the config's
+  measured est_fps to fill BENCH_BURST_BUDGET (default 0.20 s) of the bucket:
+  stable shapes hit the persistent compile cache across runs, and the burst
+  dispatches FIRST — from the fullest bucket the process will see. (The
+  adaptive cal-first variant measured a throttled rate whenever staging had
+  drained the bucket, then sized the burst to 1 window; retired.) Two
+  1-window dispatches follow for per-step granularity, honestly labeled as
+  governor-throttled lower bounds.
 - AOT compile (`jit(f).lower(args).compile()`) — an *executing* warm-up call
   during compile latches the governor before measurement starts.
 - The full-clip PSNR fidelity passes (ORB then SIFT) run on the CPU backend in
@@ -82,7 +83,9 @@ CONFIGS = {
 
 # Conservative wall-cost estimates per probe (subprocess start + imports +
 # frame decode + AOT compile + dispatches), used only for skip/idle decisions.
-PROBE_COST_S = {"1": 180, "2": 200, "3": 280, "4": 360, "5": 420}
+# 1-3 shrank in r5: probes now stage ~130 frames instead of the whole clip
+# (+90 s BENCH_PREBURST_IDLE_S inside each probe).
+PROBE_COST_S = {"1": 230, "2": 260, "3": 320, "4": 360, "5": 420}
 PROBE_TIMEOUT_S = {"1": 600, "2": 600, "3": 700, "4": 900, "5": 700}
 
 
@@ -114,10 +117,9 @@ def _cache():
 
 def device_probe():
     """Measure ONE config (env BENCH_CONFIG) in this fresh process: one
-    burst-sized fused dispatch (raw blocked headline), then the rest of the
-    clip with the same compiled dispatch (sustained). Prints one JSON line.
-    BENCH_PROBE_DEADLINE_S bounds the sustained section: when exceeded, stop
-    dispatching and report what completed."""
+    est_fps-sized fused burst dispatch FIRST (raw blocked headline), then
+    sustain_disp 1-window dispatches (throttled per-step granularity).
+    Prints one JSON line. BENCH_PROBE_DEADLINE_S bounds the tail."""
     _cache()
     t_probe = time.time()
     probe_deadline = t_probe + float(os.environ.get("BENCH_PROBE_DEADLINE_S", "1e9"))
@@ -131,18 +133,39 @@ def device_probe():
     cid = os.environ.get("BENCH_CONFIG", "1")
     c = CONFIGS[cid]
     window = int(os.environ.get("BENCH_WINDOW", "16"))
-    # BENCH_BURST pins the burst size (windows) and disables adaptive sizing.
+    # BENCH_BURST pins the burst size (windows); default sizes it from the
+    # config's measured est_fps to fill BENCH_BURST_BUDGET seconds of the
+    # governor bucket. Deterministic sizing keeps the XLA shapes stable across
+    # runs (compile-cache hits); the r5 adaptive cal-first protocol measured a
+    # *throttled* rate whenever staging had drained the bucket and then sized
+    # the burst to 1 window — garbage headline, two cold compiles, and it never
+    # survived a full bench run.
     forced_burst = os.environ.get("BENCH_BURST")
-    max_frames = int(os.environ.get("BENCH_FRAMES", "600"))
-    # burst + this many extra dispatches; the governor-throttled sustained rate
-    # is fully characterized after 2 dispatches, and a whole-clip sustained
-    # section drains ~20 s of device time that poisons the NEXT config's burst
+    # 0.27: with the measured est_fps this reproduces the r5 rehearsal's burst
+    # sizes (5/4/3 windows for configs 1/2/3) — the best raw numbers on record
+    burst_budget = float(os.environ.get("BENCH_BURST_BUDGET", "0.27"))
+    if forced_burst is not None:
+        burst_w = max(1, int(forced_burst))
+    else:
+        burst_w = max(1, min(8, round(c["est_fps"] * burst_budget / window)))
+    # post-burst 1-window dispatches: per-window step granularity (throttled
+    # lower bound) + the governor's sustained behavior
     sustain_disp = int(os.environ.get("BENCH_SUSTAIN_DISP", "2"))
 
+    def note(msg):
+        print(f"[probe {time.time() - t_probe:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    # Stage ONLY what the probe dispatches: the tunnel moves ~4 MB/s, so the
+    # old stage-the-whole-clip default cost ~97 s for 0.4 GB before the first
+    # dispatch (and under host contention blew the probe timeout outright).
+    need = 1 + (burst_w + sustain_disp) * window
+    max_frames = int(os.environ.get("BENCH_FRAMES", str(need)))
     frames = _load_frames(max_frames, c["res"])
     f0, rest = frames[0], frames[1:]
     n_wins = max(1, len(rest) // window)
+    burst_w = min(burst_w, n_wins)
     wins = rest[: n_wins * window].reshape(n_wins, window, *rest.shape[1:])
+    note(f"frames decoded ({len(frames)}), burst_w={burst_w}")
 
     int(jnp.int32(0))  # force real sync semantics before timing
     cfg = MosaicConfig(window_size=window)
@@ -168,6 +191,7 @@ def device_probe():
     # stage every window in HBM up front (uint8: 592 360p frames = 0.4 GB)
     d_all = jax.device_put(jnp.asarray(wins, jnp.uint8))
     jax.block_until_ready(d_all)
+    note("windows staged in HBM")
 
     def _compile_for(bw):
         """AOT compile the bw-window chunk shape — an *executing* warm-up call
@@ -187,18 +211,15 @@ def device_probe():
         jax.block_until_ready(tiny_c(jnp.int32(0)))
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
+    note(f"rtt calibrated {rtt*1e3:.1f} ms")
 
-    # --- Adaptive two-dispatch burst (round 5) ---------------------------
-    # The raw burst number is squeezed from both sides: the ~30 ms RTT caps
-    # small bursts (16 frames at 350 fps = 46 ms device + 30 ms RTT -> raw
-    # 210 fps), while the governor bucket (~0.28 s at probe time, NOT the
-    # historical ~0.7 s — NOTES_ROUND5) latches large ones. So: dispatch A
-    # (1 window, from the full bucket) measures the true step rate; dispatch
-    # B is sized from that rate to fill the REMAINING bucket with margin,
-    # amortizing the RTT as far as the bucket allows. The B compile happens
-    # between the two dispatches — host-side, device idle, no drain.
-    bucket_s = float(os.environ.get("BENCH_BUCKET", "0.27"))
-    ts = []          # all dispatch walls, in order (for sustained)
+    # --- Burst-first protocol (round 5, second cut) ----------------------
+    # The headline burst dispatches FIRST, from the fullest bucket this
+    # process will ever see; the ~30 ms RTT is paid inside the measured wall
+    # and amortized over burst_w*window frames (burst_fps_rtt_corrected backs
+    # it out). Two 1-window dispatches follow: per-window step granularity
+    # and the governor's post-burst behavior, honestly throttled.
+    ts = []          # all dispatch walls, in order
     sizes = []       # windows per dispatch, parallel to ts
     outs = []
     st = st0
@@ -215,52 +236,54 @@ def device_probe():
         sizes.append(bw)
         outs.append(aux.ok)
 
-    comp_1 = _compile_for(1)
-    _dispatch(comp_1, 0, 1)
-    t_cal_dev = max(ts[0] - rtt, 1e-3)
-    cal_fps = window / t_cal_dev
+    # both shapes compile before ANY dispatch (host-side, device idle)
+    comp_b = _compile_for(burst_w)
+    note("burst shape compiled")
+    comp_1 = comp_b if burst_w == 1 else (_compile_for(1) if sustain_disp else None)
+    note("1-window shape compiled")
 
-    if forced_burst is not None:
-        burst_w = max(1, min(int(forced_burst), n_wins - 1))
-    else:
-        # fill what's left of the bucket at the measured rate, 0.85 margin
-        left = max(bucket_s - t_cal_dev, 0.0)
-        burst_w = int(0.85 * cal_fps * left / window)
-        burst_w = max(1, min(burst_w, n_wins - 1, 8))
-    comp_b = comp_1 if burst_w == 1 else _compile_for(burst_w)
-    lo = 1
-    n_disp = 1 + max(0, (n_wins - 1) // burst_w)
-    for _ in range(min(1 + sustain_disp, n_disp) - 1):
-        _dispatch(comp_b, lo, burst_w)
-        lo += burst_w
-        if time.time() > probe_deadline:
-            break  # sustained section truncated by the probe's own deadline
+    # Idle before the headline dispatch: VideMosaic init (first-frame feature
+    # pass) and the RTT pings drain the bucket the burst needs; ~90 s of
+    # device idle refills ~0.2-0.25 s of full-speed budget (NOTES_ROUND2/3).
+    # The old protocol got this FOR FREE from its 97 s whole-clip staging —
+    # network wait, device idle — and lost it when staging shrank to ~35 MB.
+    preburst = float(os.environ.get("BENCH_PREBURST_IDLE_S", "90"))
+    time.sleep(max(0.0, min(preburst, probe_deadline - time.time() - 30)))
+    _dispatch(comp_b, 0, burst_w)
+    note(f"burst dispatch done ({ts[0]*1e3:.1f} ms)")
+    lo = burst_w
+    for _ in range(sustain_disp):
+        if lo + 1 > n_wins or time.time() > probe_deadline:
+            break
+        _dispatch(comp_1, lo, 1)
+        lo += 1
 
     ok_frames = int(np.asarray(jnp.concatenate([o.reshape(-1) for o in outs])).sum())
     n_frames = sum(sizes) * window
-    # headline = the sized dispatch (B); fall back to A if B never ran
-    bi = 1 if len(ts) > 1 else 0
-    fpd = sizes[bi] * window
-    print(json.dumps({
+    fpd = burst_w * window
+    rec = {
         "config": cid,
         "name": c["name"],
         "frames": n_frames,
-        "windows_per_dispatch": sizes[bi],
+        "windows_per_dispatch": burst_w,
         "dispatches": len(ts),
-        "dispatches_planned": n_disp,
         "accepted": ok_frames,
-        "cal_ms": round(ts[0] * 1e3, 1),
-        "cal_fps_rtt_corrected": round(cal_fps, 2),
         "burst_frames": fpd,
-        "burst_ms": round(ts[bi] * 1e3, 1),
-        "burst_fps": round(fpd / ts[bi], 2),
+        "burst_ms": round(ts[0] * 1e3, 1),
+        "burst_fps": round(fpd / ts[0], 2),
         "rtt_ms": round(rtt * 1e3, 1),
-        "burst_fps_rtt_corrected": round(fpd / max(ts[bi] - rtt, 1e-6), 2),
+        "burst_fps_rtt_corrected": round(fpd / max(ts[0] - rtt, 1e-6), 2),
         "sustained_fps": round(n_frames / float(np.sum(ts)), 2),
         "dispatch_ms": [round(t * 1e3, 1) for t in ts[:8]],
         "total_s": round(float(np.sum(ts)), 4),
         "detector_ckpt": det_ckpt,
-    }), flush=True)
+    }
+    if len(ts) > 1:
+        # post-burst single-window walls: per-window step time with the burst's
+        # bucket drain applied — a throttled LOWER bound on the step rate
+        rec["step1_ms"] = round(ts[1] * 1e3, 1)
+        rec["step_fps_throttled_lb"] = round(window / max(ts[1] - rtt, 1e-6), 2)
+    print(json.dumps(rec), flush=True)
 
 
 def stream_probe():
