@@ -78,7 +78,7 @@ CONFIGS = {
     "2": dict(name="360p_sift_stitch", detector="sift", det=None, res=None, est_fps=220),
     "3": dict(name="360p_sift_stitch_yolov8n", detector="sift", det="yolov8n", res=None,
               est_fps=180),
-    "5": dict(name="1080p_stream_yolov8s", detector="orb", det=None, res=(1920, 1080)),
+    "5": dict(name="1080p_stream_yolov8l", detector="orb", det=None, res=(1920, 1080)),
 }
 
 # Conservative wall-cost estimates per probe (subprocess start + imports +
