@@ -43,6 +43,10 @@ def test_run_mosaic_end_to_end(synthetic_video):
     mosaic, stats = run_mosaic(synthetic_video, config=_cfg(), detector_type="orb")
     assert stats["frames"] == 21
     assert stats["accepted"] >= 19
+    # steady-state wall rate (r5): past the first window's trace+compile the
+    # per-window rate must beat the whole-run figure that buries the compile
+    assert stats["steady_fps"] > stats["fps"]
+    assert stats["first_window_s"] > 0
     # the pan should extend coverage well beyond one frame
     # (the 1.2x-width canvas clips part of the pan, as in the reference)
     covered = np.asarray(mosaic.state.union_coarse).sum() * 64
